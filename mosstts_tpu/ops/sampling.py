@@ -1,0 +1,129 @@
+"""Sampling ops: temperature / top-k / top-p / repetition penalty.
+
+Functional JAX equivalents of the reference's torch utilities
+(moss_tts_delay/inference_utils.py:19-145,
+moss_tts_realtime/mossttsrealtime/streaming_mossttsrealtime.py:359-418).
+Greedy (temperature 0) decoding is bit-parity with the reference up to
+argmax tie-breaking; stochastic sampling matches the same filtered
+distribution but uses JAX's Gumbel-based categorical instead of
+torch.multinomial (documented deviation, SURVEY.md S7.3).
+
+Repetition penalty here is tracked with a per-(sample, channel) "seen"
+bitmask over the vocab instead of re-scanning the whole token history each
+step — O(V) memory, O(1) update, identical penalty set when batch=1. (The
+reference flattens history across batch rows and, for depth channels>=2,
+across channels; we keep penalties per-sample/per-channel, which is the
+stricter, intended semantic.)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    """Keep (at least) the top-k logits along the last axis."""
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float | jax.Array) -> jax.Array:
+    """Nucleus filtering: keep the smallest prefix of descending-probability
+    tokens whose cumulative mass reaches p (the crossing token included)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep while cumulative mass *before* this token is < p
+    keep_sorted = (cum - probs) < p
+    # threshold = smallest kept logit
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def apply_repetition_penalty_seen(
+    logits: jax.Array,  # (..., V)
+    seen: jax.Array,  # (..., V) bool
+    penalty: float | jax.Array,
+) -> jax.Array:
+    pos = logits > 0
+    penalized = jnp.where(pos, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def seen_mask_update(seen: jax.Array, tokens: jax.Array, active: Optional[jax.Array] = None) -> jax.Array:
+    """seen: (..., V) bool; tokens: (...) int; active: (...) bool gating."""
+    hot = jax.nn.one_hot(tokens, seen.shape[-1], dtype=jnp.bool_)
+    if active is not None:
+        hot = jnp.logical_and(hot, active[..., None])
+    return jnp.logical_or(seen, hot)
+
+
+def window_seen_mask(history: jax.Array, vocab: int, valid: Optional[jax.Array] = None) -> jax.Array:
+    """history: (..., W) int tokens -> (..., V) bool of tokens present.
+    valid: (..., W) bool marks real history entries."""
+    hot = jax.nn.one_hot(history, vocab, dtype=jnp.bool_)
+    if valid is not None:
+        hot = jnp.logical_and(hot, valid[..., None])
+    return jnp.any(hot, axis=-2)
+
+
+def sample_token(
+    rng: jax.Array,
+    logits: jax.Array,  # (..., V), already temperature-scaled / masked
+    *,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    do_sample: bool = True,
+) -> jax.Array:
+    if not do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    filtered = logits
+    if top_k and top_k > 0:
+        filtered = apply_top_k(filtered, top_k)
+    if top_p is not None and top_p < 1.0:
+        filtered = apply_top_p(filtered, top_p)
+    return jax.random.categorical(rng, filtered.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+
+def sample_topk_topp(
+    rng: jax.Array,
+    logits: jax.Array,  # (..., V) temperature-scaled, penalty applied
+    *,
+    top_k: int,
+    top_p: jax.Array | float,
+    do_sample: jax.Array | bool,
+) -> jax.Array:
+    """TPU-efficient sampler: when top_k > 0 the nucleus (top-p) pass runs
+    inside the k-subset only (tokens below the k-th logit have zero softmax
+    mass after top-k filtering), so the hot path sorts k<=64 values instead
+    of the 152k text vocab. ``top_p``/``do_sample`` may be traced values;
+    only ``top_k`` is static."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if top_k and top_k > 0:
+        vals, idx = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))  # sorted desc
+        probs = jax.nn.softmax(vals.astype(jnp.float32), axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p
+        vals = jnp.where(keep, vals, NEG_INF)
+        choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
+        sampled = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
+    else:
+        filtered = apply_top_p(logits, top_p)
+        sampled = jax.random.categorical(rng, filtered.astype(jnp.float32), axis=-1).astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
+
+def find_last_equal(tokens: jax.Array, value: int) -> jax.Array:
+    """tokens: (B, T) -> (B,) index of the last occurrence of value, -1 if
+    absent (functional analogue of inference_utils.find_last_equal_C:148-165)."""
+    T = tokens.shape[-1]
+    idx = jnp.arange(T)
+    match = tokens == value
+    last = jnp.max(jnp.where(match, idx, -1), axis=-1)
+    return last.astype(jnp.int32)
