@@ -1,0 +1,170 @@
+"""Host-facing generation engine for the Delay model family (MOSS-TTS 8B,
+MOSS-TTSD, MOSS-VoiceGenerator, MOSS-SoundEffect — all Delay checkpoints,
+SURVEY.md S0).
+
+Two decode drivers over the same jitted step:
+  * ``generate`` — host loop polling the stop flag every ``poll_every`` steps
+    (streams progress, supports callbacks);
+  * ``generate_on_device`` — a single ``lax.while_loop`` program with zero
+    host round-trips (benchmark / max-throughput path; the reference instead
+    loops in python with a tqdm bar per token,
+    moss_tts_delay/modeling_moss_tts.py:442).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DelayConfig
+from ..models.delay import (
+    DelaySampling,
+    delay_decode_step,
+    delay_generate_on_device,
+    delay_prefill,
+    init_delay_params,
+    make_sampling,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DelayEngine:
+    def __init__(
+        self,
+        params,
+        config: DelayConfig,
+        *,
+        dtype=jnp.bfloat16,
+        cache_bucket: int = 256,
+        top_k_text: int = 50,
+        top_k_audio: int = 25,
+    ):
+        self.params = params
+        self.config = config
+        self.dtype = dtype
+        self.cache_bucket = cache_bucket
+        self.top_k_text = top_k_text
+        self.top_k_audio = top_k_audio
+        self._prefill_jit: Dict[Any, Any] = {}
+        self._step_jit: Dict[Any, Any] = {}
+        self._device_gen_jit: Dict[Any, Any] = {}
+
+    @classmethod
+    def random_init(cls, seed: int = 0, config: Optional[DelayConfig] = None,
+                    dtype=jnp.bfloat16, **kw) -> "DelayEngine":
+        config = config or DelayConfig()
+        params = init_delay_params(jax.random.PRNGKey(seed), config, dtype=dtype)
+        return cls(params, config, dtype=dtype, **kw)
+
+    # ------------------------------------------------------------------
+    def _get_prefill(self, max_new: int, cache_len: int):
+        key = (max_new, cache_len)
+        if key not in self._prefill_jit:
+            cfg, tkt, tka, dt = self.config, self.top_k_text, self.top_k_audio, self.dtype
+            self._prefill_jit[key] = jax.jit(
+                lambda p, ids, mask, rng, s: delay_prefill(
+                    p, cfg, ids, mask,
+                    max_new_tokens=max_new, cache_len=cache_len, rng=rng,
+                    sampling=s, top_k_text=tkt, top_k_audio=tka, dtype=dt,
+                )
+            )
+        return self._prefill_jit[key]
+
+    def _get_step(self):
+        if not self._step_jit:
+            cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
+            self._step_jit["step"] = jax.jit(
+                lambda p, st, s: delay_decode_step(
+                    p, cfg, st, s, top_k_text=tkt, top_k_audio=tka
+                ),
+                donate_argnums=(1,),
+            )
+        return self._step_jit["step"]
+
+    def _get_device_gen(self, max_new: int):
+        if max_new not in self._device_gen_jit:
+            cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
+            self._device_gen_jit[max_new] = jax.jit(
+                lambda p, st, s: delay_generate_on_device(
+                    p, cfg, st, s, max_new_tokens=max_new,
+                    top_k_text=tkt, top_k_audio=tka,
+                ),
+                donate_argnums=(1,),
+            )
+        return self._device_gen_jit[max_new]
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        input_ids: np.ndarray,  # (B, T, 1+n_vq) left-padded
+        attention_mask: Optional[np.ndarray] = None,  # (B, T) bool
+        *,
+        max_new_tokens: int = 1000,
+        text_temperature: float = 1.5,
+        text_top_p: float = 1.0,
+        text_top_k: int = 50,
+        audio_temperature: float = 1.7,
+        audio_top_p: float = 0.8,
+        audio_top_k: int = 25,
+        audio_repetition_penalty: float = 1.0,
+        seed: int = 0,
+        on_device: bool = False,
+        poll_every: int = 8,
+    ) -> List[Tuple[int, np.ndarray]]:
+        """Batched synthesis; returns per-sample (start_length, token grid)
+        exactly like the reference generate (:518-525) so ``processor.decode``
+        consumes it directly."""
+        cfg = self.config
+        input_ids = np.asarray(input_ids, np.int64)
+        B, T, C = input_ids.shape
+        if C != cfg.channels:
+            raise ValueError(f"input_ids must have {cfg.channels} channels, got {C}")
+        if attention_mask is None:
+            attention_mask = np.ones((B, T), bool)
+
+        # static top-k widths come from the engine; allow per-call override
+        self.top_k_text = text_top_k
+        self.top_k_audio = audio_top_k
+
+        sampling = make_sampling(
+            text_temperature=text_temperature, text_top_p=text_top_p,
+            audio_temperature=audio_temperature, audio_top_p=audio_top_p,
+            audio_repetition_penalty=audio_repetition_penalty,
+        )
+        cache_len = _round_up(T + max_new_tokens + 1, self.cache_bucket)
+        rng = jax.random.PRNGKey(seed)
+
+        state = self._get_prefill(max_new_tokens, cache_len)(
+            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask), rng, sampling
+        )
+
+        if on_device:
+            state = self._get_device_gen(max_new_tokens)(self.params, state, sampling)
+            steps = int(state.step)
+        else:
+            step_fn = self._get_step()
+            steps = 1
+            while steps < max_new_tokens:
+                state = step_fn(self.params, state, sampling)
+                steps += 1
+                if steps % poll_every == 0 and bool(jax.device_get(state.is_stopping).all()):
+                    break
+
+        out = np.asarray(jax.device_get(state.out))[:, :steps]  # (B, steps, C)
+        full = np.concatenate([input_ids, out.astype(np.int64)], axis=1)
+
+        # slice from last <|im_start|> + 3 (reference :518-524)
+        results: List[Tuple[int, np.ndarray]] = []
+        for b in range(B):
+            text_row = input_ids[b, :, 0]
+            matches = np.nonzero(text_row == cfg.im_start_token_id)[0]
+            start_idx = int(matches[-1]) + 3 if len(matches) else 0
+            start_length = T - start_idx
+            results.append((start_length, full[b, start_idx:]))
+        return results

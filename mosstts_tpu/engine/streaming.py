@@ -1,0 +1,439 @@
+"""Streaming session layer for MossTTSRealtime: text buffering/segmentation,
+prefill triggering, chunked waveform decoding with crossfade, BPE-stable
+delta tokenization, and the LLM-delta -> audio bridge.
+
+Contract parity: reference streaming_mossttsrealtime.py:422-990. Host-side
+numpy logic (the device work happens inside RealtimeEngine's jitted steps).
+"""
+from __future__ import annotations
+
+import contextlib
+import re
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils import audio as audio_io
+from .realtime_engine import RealtimeEngine
+
+
+class RealtimeStreamingSession:
+    """Manage text-to-audio streaming for a single conversation
+    (reference :422-675)."""
+
+    _split_pattern = re.compile(
+        r"[。！？!?\.…]\s*"
+        r"|[,，;；:：—–\-]\s*"
+        r"|\)\s*|\]\s*"
+        r"|\n"
+    )
+
+    def __init__(
+        self,
+        inferencer: RealtimeEngine,
+        processor,
+        codec=None,
+        codec_sample_rate: int = 24000,
+        codec_encode_kwargs: Optional[dict] = None,
+        prefill_text_len: int = 12,
+        text_buffer_size: int = 32,
+        min_text_chunk_chars: int = 8,
+        temperature: float = 0.8,
+        top_p: float = 0.6,
+        top_k: int = 30,
+        do_sample: bool = True,
+        repetition_penalty: Optional[float] = 1.1,
+    ):
+        self.inferencer = inferencer
+        self.processor = processor
+        self.tokenizer = processor.tokenizer
+        self.codec = codec
+        self.codec_sample_rate = codec_sample_rate
+        self.codec_encode_kwargs = codec_encode_kwargs or {}
+        self.prefill_text_len = prefill_text_len
+        self.text_buffer_size = text_buffer_size
+        self.min_text_chunk_chars = min_text_chunk_chars
+        self.temperature = temperature
+        self.top_p = top_p
+        self.top_k = top_k
+        self.do_sample = do_sample
+        self.repetition_penalty = repetition_penalty
+
+        self._voice_prompt_tokens: Optional[np.ndarray] = None
+        self._turn_input_ids: Optional[np.ndarray] = None
+        self._turn_idx = 0
+        self._text_cache = ""
+        self._pending_tokens: List[int] = []
+        self._prefilled = False
+        self._text_ended = False
+
+    # --------------------------- voice prompt -----------------------------
+    def set_voice_prompt_tokens(self, audio_tokens: np.ndarray):
+        self._voice_prompt_tokens = audio_tokens
+
+    def set_voice_prompt(self, audio, sample_rate: Optional[int] = None):
+        """Accept RVQ tokens, a waveform, or a wav path (reference
+        :479-528)."""
+        if isinstance(audio, np.ndarray) and audio.ndim == 2:
+            if self.processor.channels in audio.shape:
+                self._voice_prompt_tokens = audio
+                return
+        if self.codec is None:
+            raise ValueError("codec is required to encode waveform prompts.")
+        waveform = audio
+        if isinstance(audio, (str, bytes)):
+            wav, sr = audio_io.read_wav(audio)
+            waveform = audio_io.to_mono(wav)
+            sample_rate = sr
+        waveform = np.asarray(waveform, np.float32)
+        if sample_rate is not None and sample_rate != self.codec_sample_rate:
+            waveform = audio_io.resample(waveform, sample_rate, self.codec_sample_rate)
+        enc = self.codec.batch_encode([waveform], **self.codec_encode_kwargs)
+        codes = np.asarray(enc.audio_codes)  # (NQ, 1, T)
+        self._voice_prompt_tokens = codes[:, 0, : int(enc.audio_codes_lengths[0])]
+
+    def clear_voice_prompt(self):
+        self._voice_prompt_tokens = None
+
+    # ----------------------------- lifecycle ------------------------------
+    def reset_turn(
+        self,
+        user_text: Optional[str] = None,
+        user_audio_tokens: Optional[np.ndarray] = None,
+        input_ids: Optional[np.ndarray] = None,
+        include_system_prompt: Optional[bool] = None,
+        reset_cache: bool = False,
+    ):
+        if include_system_prompt is None:
+            include_system_prompt = self._turn_idx == 0
+        if input_ids is None:
+            if user_text is None or user_audio_tokens is None:
+                raise ValueError(
+                    "user_text and user_audio_tokens are required when input_ids is not provided."
+                )
+            user_prompt = self.processor.make_user_prompt(user_text, user_audio_tokens)
+            if include_system_prompt:
+                system_prompt = self.processor.make_ensemble(self._voice_prompt_tokens)
+                input_ids = np.concatenate([system_prompt, user_prompt], axis=0)
+            else:
+                input_ids = user_prompt
+        self._turn_input_ids = input_ids
+        self._turn_idx += 1
+        self._text_cache = ""
+        self._pending_tokens = []
+        self._prefilled = False
+        self._text_ended = False
+        self.inferencer.reset_generation_state(keep_cache=not reset_cache)
+
+    # ------------------------------- input --------------------------------
+    def push_text_tokens(self, tokens: Iterable[int]) -> List[np.ndarray]:
+        self._pending_tokens.extend(int(t) for t in tokens)
+        return self._drain_pending_tokens()
+
+    def push_text(self, text_fragment: str) -> List[np.ndarray]:
+        self._text_cache += text_fragment
+        for segment in self._extract_text_segments(force=False):
+            self._pending_tokens.extend(self._tokenize(segment))
+        return self._drain_pending_tokens()
+
+    def end_text(self) -> List[np.ndarray]:
+        self._text_ended = True
+        if self._text_cache:
+            self._pending_tokens.extend(self._tokenize(self._text_cache))
+            self._text_cache = ""
+        return self._drain_pending_tokens()
+
+    def drain(self, max_steps: Optional[int] = None) -> List[np.ndarray]:
+        if not self._prefilled:
+            return []
+        return self.inferencer.finish(
+            max_steps=max_steps,
+            temperature=self.temperature, top_p=self.top_p, top_k=self.top_k,
+            do_sample=self.do_sample, repetition_penalty=self.repetition_penalty,
+        )
+
+    # ------------------------------ internals ------------------------------
+    def _tokenize(self, text: str) -> List[int]:
+        return self.tokenizer.encode(text, add_special_tokens=False)
+
+    def _extract_text_segments(self, force: bool) -> List[str]:
+        segments: List[str] = []
+        if force:
+            if self._text_cache:
+                segments.append(self._text_cache)
+                self._text_cache = ""
+            return segments
+        while self._text_cache:
+            cut_idx = None
+            if len(self._text_cache) >= self.min_text_chunk_chars:
+                for match in self._split_pattern.finditer(self._text_cache):
+                    if match.end() >= self.min_text_chunk_chars:
+                        cut_idx = match.end()
+                        break
+            if cut_idx is None and len(self._text_cache) >= self.text_buffer_size:
+                ws = self._text_cache.rfind(" ")
+                if ws != -1:
+                    cut_idx = ws + 1
+            if cut_idx is None:
+                break
+            segments.append(self._text_cache[:cut_idx])
+            self._text_cache = self._text_cache[cut_idx:]
+        return segments
+
+    def _prefill_if_needed(self) -> List[np.ndarray]:
+        if self._prefilled:
+            return []
+        if not self._pending_tokens and not self._text_ended:
+            return []
+        if len(self._pending_tokens) < self.prefill_text_len and not self._text_ended:
+            return []
+        if self._turn_input_ids is None:
+            raise ValueError("reset_turn must be called before streaming text.")
+        prefill_len = (
+            len(self._pending_tokens) if self._text_ended
+            else min(len(self._pending_tokens), self.prefill_text_len)
+        )
+        if prefill_len == 0:
+            return []
+        prefix = [self._pending_tokens.pop(0) for _ in range(prefill_len)]
+        frame = self.inferencer.prefill(
+            [self._turn_input_ids], [prefix],
+            temperature=self.temperature, top_p=self.top_p, top_k=self.top_k,
+            do_sample=self.do_sample, repetition_penalty=None,
+        )
+        self._prefilled = True
+        return [frame]
+
+    def _drain_pending_tokens(self) -> List[np.ndarray]:
+        outputs = self._prefill_if_needed()
+        if not self._prefilled:
+            return outputs
+        while self._pending_tokens and not self.inferencer.is_finished:
+            token = self._pending_tokens.pop(0)
+            outputs.append(
+                self.inferencer.step(
+                    [token] * (self.inferencer._batch or 1),
+                    temperature=self.temperature, top_p=self.top_p,
+                    top_k=self.top_k, do_sample=self.do_sample,
+                    repetition_penalty=self.repetition_penalty,
+                )
+            )
+        return outputs
+
+
+class AudioStreamDecoder:
+    """Buffer token frames; decode in ``chunk_frames`` windows with an
+    optional linear crossfade (reference :679-804)."""
+
+    def __init__(self, codec, chunk_frames: int = 40, overlap_frames: int = 4,
+                 decode_kwargs: Optional[dict] = None):
+        self.codec = codec
+        self.chunk_frames = chunk_frames
+        self.overlap_frames = overlap_frames
+        self.decode_kwargs = decode_kwargs or {}
+        self._buffer: List[np.ndarray] = []
+        self._buffer_len = 0
+        self._prev_tail: Optional[np.ndarray] = None
+
+    def push_tokens(self, audio_tokens: np.ndarray):
+        audio_tokens = np.asarray(audio_tokens)
+        if audio_tokens.ndim != 2:
+            raise ValueError(f"Expected [T, C] audio tokens, got {audio_tokens.shape}")
+        self._buffer.append(audio_tokens)
+        self._buffer_len += audio_tokens.shape[0]
+
+    def audio_chunks(self) -> Iterable[np.ndarray]:
+        while self._buffer_len >= self.chunk_frames:
+            tokens = self._consume(self.chunk_frames)
+            yield self._apply_crossfade(self._decode(tokens, chunk_duration=0.32))
+
+    def flush(self) -> Optional[np.ndarray]:
+        if self._buffer_len == 0:
+            return None
+        tokens = self._consume(self._buffer_len)
+        return self._apply_crossfade(self._decode(tokens), final_chunk=True)
+
+    def _consume(self, num_frames: int) -> np.ndarray:
+        frames, remaining = [], num_frames
+        while remaining > 0 and self._buffer:
+            head = self._buffer[0]
+            if head.shape[0] <= remaining:
+                frames.append(head)
+                remaining -= head.shape[0]
+                self._buffer.pop(0)
+            else:
+                frames.append(head[:remaining])
+                self._buffer[0] = head[remaining:]
+                remaining = 0
+        self._buffer_len -= num_frames - remaining
+        return np.concatenate(frames, axis=0)
+
+    def _decode(self, tokens: np.ndarray, chunk_duration: float = 0.32) -> np.ndarray:
+        kw = dict(self.decode_kwargs)
+        if "chunk_duration" in kw:
+            override = kw.pop("chunk_duration")
+            cd = None if override is None or float(override) <= 0 else float(override)
+        else:
+            cd = chunk_duration
+        decoded = self.codec.decode(tokens.T, chunk_duration=cd, **kw)
+        wav = decoded["audio"][0] if isinstance(decoded, dict) else decoded
+        wav = np.asarray(wav)
+        if wav.ndim > 1:
+            wav = wav.reshape(-1)
+        return wav
+
+    def _overlap_samples(self, wav: np.ndarray) -> int:
+        if self.chunk_frames <= 0:
+            return 0
+        return int(wav.size * (self.overlap_frames / self.chunk_frames))
+
+    def _apply_crossfade(self, wav: np.ndarray, final_chunk: bool = False) -> np.ndarray:
+        if self.overlap_frames <= 0:
+            return wav
+        if self._prev_tail is None:
+            self._prev_tail = None if final_chunk else wav[-self._overlap_samples(wav):].copy()
+            return wav
+        overlap = self._overlap_samples(wav)
+        prev_tail = self._prev_tail
+        overlap = min(overlap, prev_tail.size)
+        if overlap == 0:
+            return wav
+        fade_out = np.linspace(1.0, 0.0, overlap, dtype=np.float32)
+        fade_in = 1.0 - fade_out
+        cross = prev_tail[-overlap:] * fade_out + wav[:overlap] * fade_in
+        merged = np.concatenate([prev_tail[:-overlap], cross, wav[overlap:]])
+        self._prev_tail = None if final_chunk else wav[-overlap:].copy()
+        return merged
+
+
+class TextDeltaTokenizer:
+    """LLM delta text -> stable incremental token ids: re-encode the full
+    text each delta, hold back the still-mutable tail (reference :807-851)."""
+
+    def __init__(self, tokenizer, *, hold_back: int = 3):
+        self.tokenizer = tokenizer
+        self.hold_back = max(0, int(hold_back))
+        self._text = ""
+        self._all_ids: List[int] = []
+        self._emitted = 0
+
+    @property
+    def text(self) -> str:
+        return self._text
+
+    @property
+    def token_ids(self) -> List[int]:
+        return list(self._all_ids)
+
+    def push_delta(self, delta: str) -> List[int]:
+        if not delta:
+            return []
+        self._text += str(delta)
+        self._all_ids = self.tokenizer.encode(self._text, add_special_tokens=False)
+        stable = max(self._emitted, len(self._all_ids) - self.hold_back)
+        new_ids = self._all_ids[self._emitted : stable]
+        self._emitted = stable
+        return new_ids
+
+    def flush(self) -> List[int]:
+        self._all_ids = self.tokenizer.encode(self._text, add_special_tokens=False)
+        remaining = self._all_ids[self._emitted :]
+        self._emitted = len(self._all_ids)
+        return remaining
+
+
+def sanitize_audio_tokens(tokens: np.ndarray, *, codebook_size: int,
+                          audio_eos_token: int):
+    """Trim rows at/after EOS or out-of-range codes; returns (tokens, stop)
+    (reference _sanitize_audio_tokens :854-878)."""
+    tokens = np.asarray(tokens)
+    if tokens.ndim == 1:
+        tokens = tokens[None]
+    if tokens.size == 0:
+        return tokens, False
+    eos_rows = np.nonzero(tokens[:, 0] == audio_eos_token)[0]
+    invalid = np.nonzero(((tokens < 0) | (tokens >= codebook_size)).any(axis=1))[0]
+    stop_idx = None
+    if eos_rows.size:
+        stop_idx = int(eos_rows[0])
+    if invalid.size:
+        stop_idx = int(invalid[0]) if stop_idx is None else min(stop_idx, int(invalid[0]))
+    if stop_idx is not None:
+        return tokens[:stop_idx], True
+    return tokens, False
+
+
+def _maybe_codec_streaming(codec, *, batch_size: int):
+    if codec is None or not hasattr(codec, "streaming"):
+        return contextlib.nullcontext()
+    return codec.streaming(batch_size=batch_size)
+
+
+class RealtimeTextStreamBridge:
+    """LLM streaming text deltas -> TTS wav chunks (reference :888-990)."""
+
+    def __init__(self, session: RealtimeStreamingSession, decoder: AudioStreamDecoder,
+                 *, codebook_size: Optional[int] = None,
+                 audio_eos_token: Optional[int] = None, batch_size: int = 1):
+        self.session = session
+        self.decoder = decoder
+        self.batch_size = int(batch_size)
+        if codebook_size is None:
+            codebook_size = int(getattr(getattr(session, "codec", None), "codebook_size", 1024))
+        if audio_eos_token is None:
+            audio_eos_token = int(session.inferencer.config.audio_eos_token)
+        self.codebook_size = int(codebook_size)
+        self.audio_eos_token = int(audio_eos_token)
+
+    def push_text_delta(self, delta: str) -> Iterator[np.ndarray]:
+        yield from self._decode_audio_frames(self.session.push_text(delta))
+
+    def push_text_tokens(self, token_ids: Sequence[int]) -> Iterator[np.ndarray]:
+        if not token_ids:
+            return
+        yield from self._decode_audio_frames(self.session.push_text_tokens(token_ids))
+
+    def finish(self, *, drain_step: int = 1) -> Iterator[np.ndarray]:
+        yield from self._decode_audio_frames(self.session.end_text())
+        while True:
+            more = self.session.drain(max_steps=drain_step)
+            if not more:
+                break
+            yield from self._decode_audio_frames(more)
+            if self.session.inferencer.is_finished:
+                break
+        final = self.decoder.flush()
+        if final is not None and final.size > 0:
+            yield final
+
+    def stream_from_text_deltas(self, deltas: Iterable[str], *, drain_step: int = 1
+                                ) -> Iterator[np.ndarray]:
+        with _maybe_codec_streaming(getattr(self.session, "codec", None),
+                                    batch_size=self.batch_size):
+            for delta in deltas:
+                yield from self.push_text_delta(delta)
+            yield from self.finish(drain_step=drain_step)
+
+    def _decode_audio_frames(self, frames: List[np.ndarray]) -> Iterator[np.ndarray]:
+        for frame in frames:
+            tokens = np.asarray(frame)
+            if tokens.ndim == 3:
+                tokens = tokens[0]
+            if tokens.ndim != 2:
+                raise ValueError(f"Expected [B, C] audio tokens, got {tokens.shape}")
+            if tokens.shape[0] != 1:
+                raise ValueError("This bridge supports batch_size=1 decoding.")
+            tokens, stop = sanitize_audio_tokens(
+                tokens, codebook_size=self.codebook_size,
+                audio_eos_token=self.audio_eos_token,
+            )
+            if tokens.size == 0:
+                if stop:
+                    break
+                continue
+            self.decoder.push_tokens(tokens)
+            for wav in self.decoder.audio_chunks():
+                if wav.size:
+                    yield wav
+            if stop:
+                break

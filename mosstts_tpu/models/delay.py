@@ -348,6 +348,64 @@ def delay_decode_step(
     )
 
 
+def delay_loss(
+    params, cfg: DelayConfig,
+    ids: jax.Array,  # (B, T, C)
+    attention_mask: jax.Array,  # (B, T)
+    labels: jax.Array,  # (B, T, C), -100 = ignore
+    channelwise_loss_weight: Optional[jax.Array] = None,  # (C,)
+):
+    """Multi-channel CE training loss (reference forward :302-378): summed
+    per-sample/per-channel losses normalised by valid-token counts, with
+    optional per-channel weights."""
+    B, T, C = ids.shape
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    text_logits, audio_logits, _ = delay_forward(
+        params, cfg, ids, positions=positions, kv_valid=attention_mask
+    )
+
+    def ce(logits, lab):
+        # logits (B,T,V), lab (B,T) with -100 ignore
+        valid = lab != -100
+        safe = jnp.where(valid, lab, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        return nll.sum(axis=1), valid.sum(axis=1)  # (B,), (B,)
+
+    sums, counts = [], []
+    s0, c0 = ce(text_logits, labels[..., 0])
+    sums.append(s0)
+    counts.append(c0)
+    for i in range(cfg.n_vq):
+        si, ci = ce(audio_logits[:, :, i], labels[..., i + 1])
+        sums.append(si)
+        counts.append(ci)
+    all_sum = jnp.stack(sums, axis=1)  # (B, C)
+    all_cnt = jnp.stack(counts, axis=1)  # (B, C)
+
+    if channelwise_loss_weight is not None:
+        w = jnp.asarray(channelwise_loss_weight, jnp.float32)
+        ch_loss = all_sum.sum(0) / jnp.clip(all_cnt.sum(0).astype(jnp.float32), 1.0, None)
+        loss = (ch_loss * w).sum() / w.sum()
+    else:
+        ch_loss = all_sum.sum(0) / jnp.clip(all_cnt.sum(0).astype(jnp.float32), 1.0, None)
+        loss = all_sum.sum() / jnp.clip(all_cnt.sum().astype(jnp.float32), 1.0, None)
+    return loss, {"channel_losses": ch_loss, "token_counts": all_cnt.sum(0)}
+
+
+def delay_train_step(params, cfg: DelayConfig, batch, lr: float = 1e-4):
+    """One SGD step over the multi-channel LM loss — the training-step
+    program ``dryrun_multichip`` shards over the ('data','model') mesh."""
+    (loss, aux), grads = jax.value_and_grad(
+        lambda p: delay_loss(p, cfg, batch["input_ids"], batch["attention_mask"],
+                             batch["labels"]),
+        has_aux=True,
+    )(params)
+    new_params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
+    return new_params, loss, aux
+
+
 def delay_generate_on_device(
     params, cfg: DelayConfig, state: DelayGenState, sampling: DelaySampling,
     *, max_new_tokens: int, top_k_text: int = 50, top_k_audio: int = 25,

@@ -82,8 +82,15 @@ def qwen3_forward(
     kv_valid: jax.Array,  # (B, S) validity of cache slots (S=T when no cache)
     cache: Optional[KVCache] = None,
     cache_offset: jax.Array | int = 0,
+    kv_positions: Optional[jax.Array] = None,
+    attn_window: Optional[int] = None,
+    use_rope: bool = True,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
-    """Returns (last_hidden_state (B,T,D), updated cache or None)."""
+    """Returns (last_hidden_state (B,T,D), updated cache or None).
+
+    ``kv_positions`` overrides the cache slots' absolute positions (used by
+    ring/sliding-window caches where slot index != position; default is the
+    linear cache where slot == position)."""
     B, T, D = inputs_embeds.shape
     hd, H, KV = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     scale = hd ** -0.5
@@ -91,11 +98,12 @@ def qwen3_forward(
 
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # (B, T, hd)
 
-    if cache is not None:
-        S = cache.max_len
-        kv_positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
-    else:
-        kv_positions = positions
+    if kv_positions is None:
+        if cache is not None:
+            S = cache.max_len
+            kv_positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+        else:
+            kv_positions = positions
 
     def layer(hidden, xs):
         lp, ck, cv = xs  # layer params, cache k/v: (B, S, KV, hd)
@@ -105,8 +113,9 @@ def qwen3_forward(
         v = dense(x, lp["wv"]).reshape(B, T, KV, hd)
         q = rms_norm(q, lp["q_norm"], eps)
         k = rms_norm(k, lp["k_norm"], eps)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if use_rope:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         if cache is not None:
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
@@ -121,6 +130,7 @@ def qwen3_forward(
             kv_positions=kv_positions,
             kv_valid=kv_valid,
             scale=scale,
+            window=attn_window,
         ).reshape(B, T, H * hd)
         hidden = hidden + dense(attn, lp["wo"])
         x = rms_norm(hidden, lp["ln2"], eps)

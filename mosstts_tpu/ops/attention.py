@@ -23,9 +23,11 @@ def gqa_attention(
     kv_positions: jax.Array,  # (B, Tk) int32 absolute positions of key slots
     kv_valid: jax.Array,  # (B, Tk) bool: slot holds a real (non-pad) token
     scale: float,
+    window: int | None = None,
 ) -> jax.Array:
     """Causal GQA attention. A query at position p attends key slots whose
-    position <= p and which are valid. Returns (B, Tq, H, hd)."""
+    position <= p (and > p - window when a sliding window is set) and which
+    are valid. Returns (B, Tq, H, hd)."""
     B, Tq, H, hd = q.shape
     KV = k.shape[2]
     G = H // KV
@@ -38,7 +40,10 @@ def gqa_attention(
         k.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    causal = q_positions[:, :, None] >= kv_positions[:, None, :]  # (B, Tq, Tk)
+    rel = q_positions[:, :, None] - kv_positions[:, None, :]  # (B, Tq, Tk)
+    causal = rel >= 0
+    if window is not None:
+        causal = causal & (rel < window)
     mask = causal & kv_valid[:, None, :]
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)

@@ -40,7 +40,9 @@ def load_safetensors_dir(path: str | Path) -> Dict[str, np.ndarray]:
     else:
         files = sorted(path.glob("*.safetensors"))
     for f in files:
-        out.update(load_file(str(f)))
+        # copy=True: load_file returns mmap-backed views; handing those to
+        # jnp.asarray can zero-copy pages that are later invalidated.
+        out.update({k: np.array(v, copy=True) for k, v in load_file(str(f)).items()})
     return out
 
 

@@ -2,7 +2,9 @@
 collectives are validated without TPU hardware (SURVEY.md S4.4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the shell env pins JAX_PLATFORMS=axon (TPU tunnel); tests must
+# really run on CPU, so force it rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,182 @@
+"""Delay-pattern + decode state machine tests.
+
+The oracle below re-implements, in plain numpy and straight from the spec in
+SURVEY.md S3.1 / the reference's documented semantics, the per-step decisions
+of MossTTSDelayModel.generate (greedy). Our jitted lattice must match it
+step-for-step on scripted logits.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+from mosstts_tpu.ops.delay import apply_delay_pattern, apply_de_delay_pattern
+from mosstts_tpu.models.delay import (
+    DelayGenState,
+    SENTINEL,
+    _delay_sample_and_update,
+    make_sampling,
+)
+from mosstts_tpu.nn.qwen3 import init_kv_cache
+
+CFG = DelayConfig(language_config=tiny_qwen3(), n_vq=4)
+INF = 10**9
+
+
+def test_delay_roundtrip():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 1024, size=(11, 4)).astype(np.int64)
+    d = apply_delay_pattern(codes, 1024)
+    assert d.shape == (14, 4)
+    # diagonal shift: column k starts after k pads
+    for k in range(4):
+        assert (d[:k, k] == 1024).all()
+        assert (d[k : k + 11, k] == codes[:, k]).all()
+        assert (d[k + 11 :, k] == 1024).all()
+    back = apply_de_delay_pattern(d)
+    np.testing.assert_array_equal(back, codes)
+
+
+def _oracle(cfg: DelayConfig, text_logit_seq, audio_logit_seq):
+    """Greedy single-sample oracle of the reference decode state machine."""
+    V = text_logit_seq[0].shape[-1]
+    n_vq = cfg.n_vq
+    pad_code = cfg.audio_pad_code
+    is_stopping = False
+    is_audio = False
+    audio_len = 0
+    delayed = INF
+    frames = []
+    for t, (tl, al) in enumerate(zip(text_logit_seq, audio_logit_seq)):
+        tl = tl.copy()
+        al = al.copy()
+        if is_stopping:
+            next_text = cfg.pad_token_id
+        elif delayed < n_vq:
+            next_text = cfg.audio_assistant_delay_slot_token_id
+        elif delayed == n_vq:
+            next_text = cfg.audio_end_token_id
+            is_audio = False
+        else:
+            if not is_audio:
+                tl[
+                    [
+                        cfg.pad_token_id,
+                        cfg.audio_assistant_gen_slot_token_id,
+                        cfg.audio_assistant_delay_slot_token_id,
+                        cfg.audio_end_token_id,
+                    ]
+                ] = -np.inf
+            else:
+                keep = np.full(V, -np.inf)
+                keep[cfg.audio_assistant_gen_slot_token_id] = tl[
+                    cfg.audio_assistant_gen_slot_token_id
+                ]
+                keep[cfg.audio_assistant_delay_slot_token_id] = tl[
+                    cfg.audio_assistant_delay_slot_token_id
+                ]
+                tl = keep
+            if t == 0:
+                tl[cfg.audio_assistant_delay_slot_token_id] = -np.inf
+            if t <= n_vq:
+                tl[cfg.im_end_token_id] = -np.inf
+            next_text = int(np.argmax(tl))
+        if next_text == cfg.audio_start_token_id:
+            is_audio = True
+        if next_text == cfg.im_end_token_id:
+            is_stopping = True
+
+        ks = np.arange(n_vq)
+        pre = audio_len > ks
+        post = np.ones(n_vq, bool) if delayed == INF else (ks > delayed - 1)
+        samp = pre & post
+        al[..., -1] = -np.inf
+        next_audio = np.where(samp, np.argmax(al, axis=-1), pad_code)
+
+        if next_text in (
+            cfg.audio_start_token_id,
+            cfg.audio_assistant_gen_slot_token_id,
+            cfg.audio_assistant_delay_slot_token_id,
+        ):
+            audio_len += 1
+        if next_text == cfg.audio_end_token_id:
+            audio_len = 0
+        if delayed == INF and next_text == cfg.audio_assistant_delay_slot_token_id:
+            delayed = 0
+        if delayed != INF:
+            delayed += 1
+        if delayed > n_vq:
+            delayed = INF
+        frames.append((next_text, next_audio))
+    return frames
+
+
+def test_state_machine_matches_oracle():
+    cfg = CFG
+    n_vq = cfg.n_vq
+    V = cfg.language_config.vocab_size
+    Va = cfg.audio_emb_vocab
+    rng = np.random.default_rng(7)
+    n_steps = 16
+
+    # Scripted greedy preferences: step0 audio_start, then gen x4,
+    # then delay (starts flush), then whatever; audio logits random.
+    text_seq, audio_seq = [], []
+    for t in range(n_steps):
+        tl = rng.standard_normal(V).astype(np.float32)
+        tl[151640:151670] -= 100.0  # keep special ids out of generic argmax
+        if t == 0:
+            tl[cfg.audio_start_token_id] = 200.0
+        elif t <= 4:
+            tl[cfg.audio_assistant_gen_slot_token_id] = 200.0
+            tl[cfg.audio_assistant_delay_slot_token_id] = 150.0
+        else:
+            tl[cfg.audio_assistant_delay_slot_token_id] = 200.0
+            tl[cfg.im_end_token_id] = 190.0
+        text_seq.append(tl)
+        audio_seq.append(rng.standard_normal((n_vq, Va)).astype(np.float32))
+
+    want = _oracle(cfg, text_seq, audio_seq)
+
+    # Drive our jitted lattice with the same logits.
+    B = 1
+    state = DelayGenState(
+        cache=init_kv_cache(cfg.language_config, B, 8, dtype=jnp.float32),
+        kv_valid=jnp.zeros((B, 8), jnp.bool_),
+        cur_ids=jnp.zeros((B, 1, cfg.channels), jnp.int32),
+        pos=jnp.int32(0),
+        step=jnp.int32(0),
+        rng=jax.random.PRNGKey(0),
+        is_stopping=jnp.zeros((B,), jnp.bool_),
+        is_audio=jnp.zeros((B,), jnp.bool_),
+        audio_lengths=jnp.zeros((B,), jnp.int32),
+        delayed=jnp.full((B,), SENTINEL, jnp.int32),
+        seen=jnp.zeros((B, n_vq, Va), jnp.bool_),
+        out=jnp.zeros((B, n_steps, cfg.channels), jnp.int32),
+        out_valid=jnp.zeros((B, n_steps), jnp.bool_),
+    )
+    sampling = make_sampling(text_temperature=0.0, audio_temperature=0.0)
+    step_fn = jax.jit(
+        lambda st, tl, al: _delay_sample_and_update(
+            st, cfg, sampling, 50, 25, tl, al
+        )
+    )
+    for t in range(n_steps):
+        state = step_fn(
+            state, jnp.asarray(text_seq[t])[None], jnp.asarray(audio_seq[t])[None]
+        )
+
+    out = np.asarray(state.out)[0]  # (n_steps, C)
+    for t, (wt, wa) in enumerate(want):
+        assert out[t, 0] == wt, f"step {t}: text {out[t,0]} != oracle {wt}"
+        np.testing.assert_array_equal(out[t, 1:], wa, err_msg=f"step {t} audio")
+
+    # Grammar sanity: exactly n_vq delay slots then audio_end then im_end.
+    texts = out[:, 0].tolist()
+    n_delay = texts.count(cfg.audio_assistant_delay_slot_token_id)
+    assert n_delay == n_vq
+    assert cfg.audio_end_token_id in texts
+    assert cfg.im_end_token_id in texts
+    end_i = texts.index(cfg.audio_end_token_id)
+    # all channels pad from the audio_end step onward
+    assert (out[end_i, 1:] == cfg.audio_pad_code).all()
