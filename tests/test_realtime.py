@@ -1,0 +1,170 @@
+"""Realtime model tests: processor grids, engine prefill/step/finish,
+multi-turn cache reuse, streaming session + bridge."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mosstts_tpu.core.config import RealtimeConfig, RealtimeLocalConfig, tiny_qwen3
+from mosstts_tpu.engine.realtime_engine import RealtimeEngine
+from mosstts_tpu.engine.streaming import (
+    AudioStreamDecoder,
+    RealtimeStreamingSession,
+    TextDeltaTokenizer,
+    sanitize_audio_tokens,
+)
+from mosstts_tpu.processing.realtime_processor import RealtimeProcessor
+from mosstts_tpu.processing.tokenizer import ByteFallbackTokenizer
+
+RVQ = 4
+CFG = RealtimeConfig(
+    language_config=tiny_qwen3(hidden_size=32, num_attention_heads=2,
+                               num_key_value_heads=2, head_dim=16,
+                               intermediate_size=64),
+    local_config=RealtimeLocalConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=16, rvq=RVQ,
+        max_position_embeddings=RVQ + 1,
+    ),
+    rvq=RVQ,
+)
+
+
+@pytest.fixture(scope="module")
+def proc():
+    return RealtimeProcessor(ByteFallbackTokenizer(), channels=RVQ)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return RealtimeEngine.random_init(
+        seed=0, config=CFG, dtype=jnp.float32, max_length=64, cache_len=512,
+        prefill_bucket=1,
+    )
+
+
+def test_make_ensemble_voice_clone(proc):
+    tokens = np.arange(RVQ * 5).reshape(5, RVQ) % 1024
+    grid = proc.make_ensemble(tokens)
+    assert grid.shape[1] == RVQ + 1
+    rows = np.where(grid[:, 0] == proc.audio_pad_token_id)[0]
+    assert len(rows) == 5
+    np.testing.assert_array_equal(grid[rows, 1:], tokens)
+    # without a prompt, all audio channels are pad
+    grid2 = proc.make_ensemble(None)
+    assert (grid2[:, 1:] == proc.audio_channel_pad).all()
+
+
+def test_make_user_prompt_text_leads_audio(proc):
+    text = "hello world this is a much longer sentence for the test"
+    audio = np.ones((6, RVQ), np.int64) * 7
+    grid = proc.make_user_prompt(text, audio)
+    prefill = "<|im_end|>\n<|im_start|>user\n"
+    start = len(proc.tokenizer.encode(prefill))
+    a0 = start + proc.delay_tokens_len
+    # audio bos marker just before, eos just after (reference :149-153)
+    assert grid[a0 - 1, 1] == proc.audio_bos_token
+    np.testing.assert_array_equal(grid[a0 : a0 + 6, 1:], audio)
+    assert grid[a0 + 6, 1] == proc.audio_eos_token
+    # trailing begin-of-response rows
+    tail = proc.tokenizer.decode(list(grid[-12:, 0]))
+    assert tail.endswith("<|im_start|>assistant\n")
+
+
+def test_prefill_step_finish(engine, proc):
+    user_audio = np.random.default_rng(0).integers(0, 1024, (8, RVQ))
+    sys_grid = proc.make_ensemble(None)
+    user_grid = proc.make_user_prompt("hello streaming world", user_audio)
+    turn = np.concatenate([sys_grid, user_grid], axis=0)
+
+    engine.reset_generation_state(keep_cache=False)
+    text_ids = proc.tokenizer.encode("this is the reply text")
+    frame = engine.prefill([turn], [text_ids[:6]], do_sample=False, temperature=0.0)
+    assert frame.shape == (1, RVQ)
+    f2 = engine.step(text_ids[6], do_sample=False, temperature=0.0)
+    assert f2.shape == (1, RVQ)
+    outs = engine.finish(max_steps=4, do_sample=False, temperature=0.0)
+    assert len(outs) <= 4
+    assert len(engine.generated_tokens) >= 2
+
+
+def test_multi_turn_cache_reuse(engine, proc):
+    engine.reset_generation_state(keep_cache=False)
+    user_audio = np.random.default_rng(1).integers(0, 1024, (4, RVQ))
+    turn1 = np.concatenate(
+        [proc.make_ensemble(None), proc.make_user_prompt("turn one", user_audio)], axis=0
+    )
+    engine.prefill([turn1], [proc.tokenizer.encode("reply one")[:4]],
+                   do_sample=False, temperature=0.0)
+    used_after_t1 = int(np.asarray(engine.state.cur_len))
+    engine.step(None, do_sample=False, temperature=0.0)
+
+    # turn 2 keeps the cache: cursor continues past turn 1
+    engine.reset_generation_state(keep_cache=True)
+    turn2 = proc.make_user_prompt("turn two", user_audio)
+    engine.prefill([turn2], [proc.tokenizer.encode("reply two")[:4]],
+                   do_sample=False, temperature=0.0)
+    used_after_t2 = int(np.asarray(engine.state.cur_len))
+    assert used_after_t2 > used_after_t1 + turn2.shape[0] - 1
+
+    # reset_cache=False then True
+    engine.reset_generation_state(keep_cache=False)
+    assert engine.state is None
+
+
+def test_deterministic_greedy(engine, proc):
+    user_audio = np.random.default_rng(2).integers(0, 1024, (4, RVQ))
+    turn = np.concatenate(
+        [proc.make_ensemble(None), proc.make_user_prompt("determinism", user_audio)], axis=0
+    )
+    frames = []
+    for _ in range(2):
+        engine.reset_generation_state(keep_cache=False)
+        f = engine.prefill([turn], [proc.tokenizer.encode("say this")[:4]],
+                           do_sample=False, temperature=0.0)
+        f2 = engine.step(None, do_sample=False, temperature=0.0)
+        frames.append((f.copy(), f2.copy()))
+    np.testing.assert_array_equal(frames[0][0], frames[1][0])
+    np.testing.assert_array_equal(frames[0][1], frames[1][1])
+
+
+def test_sanitize_audio_tokens():
+    t = np.array([[1, 2], [1026, 0], [3, 4]])
+    out, stop = sanitize_audio_tokens(t, codebook_size=1024, audio_eos_token=1026)
+    assert stop and out.shape[0] == 1
+    t2 = np.array([[1, 2], [3, 2000]])
+    out2, stop2 = sanitize_audio_tokens(t2, codebook_size=1024, audio_eos_token=1026)
+    assert stop2 and out2.shape[0] == 1
+    t3 = np.array([[1, 2], [3, 4]])
+    out3, stop3 = sanitize_audio_tokens(t3, codebook_size=1024, audio_eos_token=1026)
+    assert not stop3 and out3.shape[0] == 2
+
+
+def test_text_delta_tokenizer_stability():
+    tok = ByteFallbackTokenizer()
+    tdt = TextDeltaTokenizer(tok, hold_back=3)
+    full = "hello world, this is a delta streaming test."
+    ids = []
+    for i in range(0, len(full), 5):
+        ids.extend(tdt.push_delta(full[i : i + 5]))
+    ids.extend(tdt.flush())
+    assert ids == tok.encode(full)
+
+
+def test_stream_decoder_crossfade_lengths():
+    class FakeCodec:
+        codebook_size = 1024
+
+        def decode(self, tokens, chunk_duration=None, **kw):
+            # 10 samples per frame
+            T = np.asarray(tokens).shape[1]
+            return {"audio": [np.ones(T * 10, np.float32)]}
+
+    dec = AudioStreamDecoder(FakeCodec(), chunk_frames=4, overlap_frames=1)
+    dec.push_tokens(np.zeros((9, RVQ), np.int64))
+    chunks = list(dec.audio_chunks())
+    assert len(chunks) == 2
+    # first chunk passes through; second merges with the 10-sample tail
+    assert chunks[0].size == 40
+    assert chunks[1].size == 40  # tail(10) + chunk(40) - overlap(10)
+    tailwav = dec.flush()
+    assert tailwav is not None

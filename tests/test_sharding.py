@@ -1,0 +1,91 @@
+"""Mesh/pjit sharding tests on the virtual 8-device CPU mesh.
+
+NOTE: the axon sitecustomize pins the CPU backend to 1 device when
+PALLAS_AXON_POOL_IPS is set; run with `PALLAS_AXON_POOL_IPS= pytest ...` to
+exercise these (they skip gracefully otherwise). The driver separately
+validates the multi-chip path via __graft_entry__.dryrun_multichip.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+multi_device = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual CPU devices"
+)
+
+
+@multi_device
+def test_delay_train_step_sharded_matches_single():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.models.delay import delay_train_step, init_delay_params
+    from mosstts_tpu.parallel.mesh import delay_param_specs, make_mesh, shard_params
+
+    cfg = DelayConfig(language_config=tiny_qwen3(vocab_size=512), n_vq=8)
+    params = init_delay_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    B, T = 4, 12
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 500, (B, T, cfg.channels))),
+        "attention_mask": jnp.ones((B, T), jnp.bool_),
+        "labels": jnp.asarray(rng.integers(0, 500, (B, T, cfg.channels))),
+    }
+
+    # single-device reference
+    _, loss_ref, _ = jax.jit(lambda p, b: delay_train_step(p, cfg, b))(params, batch)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_params(params, mesh, delay_param_specs())
+    batch_sh = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+        for k, v in batch.items()
+    }
+    _, loss_sh, _ = jax.jit(lambda p, b: delay_train_step(p, cfg, b))(sharded, batch_sh)
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=2e-5)
+
+
+@multi_device
+def test_delay_forward_tensor_parallel_matches():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.models.delay import delay_forward, init_delay_params
+    from mosstts_tpu.parallel.mesh import delay_param_specs, make_mesh, shard_params
+
+    cfg = DelayConfig(language_config=tiny_qwen3(vocab_size=512), n_vq=8)
+    params = init_delay_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B, T = 2, 9
+    ids = jnp.asarray(rng.integers(0, 500, (B, T, cfg.channels)))
+    mask = jnp.ones((B, T), jnp.bool_)
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T)).astype(jnp.int32)
+
+    def fwd(p):
+        t, a, _ = delay_forward(p, cfg, ids, positions=pos, kv_valid=mask)
+        return t, a
+
+    t_ref, a_ref = jax.jit(fwd)(params)
+
+    mesh = make_mesh(data=1, model=8)
+    sharded = shard_params(params, mesh, delay_param_specs())
+    t_sh, a_sh = jax.jit(fwd)(sharded)
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_sh), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a_ref), np.asarray(a_sh), atol=2e-4)
+
+
+def test_graft_entry_single_device():
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert out[0].shape[-1] == 151936
+
+    n = len(jax.devices())
+    mod.dryrun_multichip(min(n, 8))
