@@ -72,14 +72,20 @@ def main():
     prefill = engine._get_prefill(max_new, cache_len)
     step = engine._get_step()
 
+    print("bench: compiling prefill...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     state = prefill(engine.params, jnp.asarray(ids), jnp.asarray(mask),
                     jax.random.PRNGKey(0), sampling)
     jax.block_until_ready(state.out)
     prefill_s = time.perf_counter() - t0
+    print(f"bench: prefill done in {prefill_s:.1f}s; compiling step...",
+          file=sys.stderr, flush=True)
 
-    for _ in range(args.warmup):
+    for i in range(args.warmup):
         state = step(engine.params, state, sampling)
+        if i == 0:
+            jax.block_until_ready(state.out)
+            print("bench: step compiled; warming up...", file=sys.stderr, flush=True)
     jax.block_until_ready(state.out)
 
     t0 = time.perf_counter()
