@@ -54,7 +54,7 @@ def build(tiny: bool, batch: int, prompt_len: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="small config (CPU smoke)")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=8)
@@ -70,7 +70,8 @@ def main():
     max_new = args.steps + args.warmup + 8
     cache_len = ((args.prompt + max_new + 1 + 255) // 256) * 256
     prefill = engine._get_prefill(max_new, cache_len)
-    step = engine._get_step()
+    attend = ((args.prompt + max_new + 1 + 255) // 256) * 256
+    step = engine._get_step(min(attend, cache_len))
 
     print("bench: compiling prefill...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()

@@ -76,28 +76,31 @@ class DelayEngine:
             )
         return self._prefill_jit[key]
 
-    def _get_step(self):
-        if not self._step_jit:
+    def _get_step(self, attend_len=None):
+        key = ("step", attend_len, self.top_k_text, self.top_k_audio)
+        if key not in self._step_jit:
             cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
-            self._step_jit["step"] = jax.jit(
+            self._step_jit[key] = jax.jit(
                 lambda p, st, s: delay_decode_step(
-                    p, cfg, st, s, top_k_text=tkt, top_k_audio=tka
+                    p, cfg, st, s, top_k_text=tkt, top_k_audio=tka,
+                    attend_len=attend_len,
                 ),
                 donate_argnums=(1,),
             )
-        return self._step_jit["step"]
+        return self._step_jit[key]
 
-    def _get_device_gen(self, max_new: int):
-        if max_new not in self._device_gen_jit:
+    def _get_device_gen(self, max_new: int, attend_len=None):
+        key = (max_new, attend_len, self.top_k_text, self.top_k_audio)
+        if key not in self._device_gen_jit:
             cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
-            self._device_gen_jit[max_new] = jax.jit(
+            self._device_gen_jit[key] = jax.jit(
                 lambda p, st, s: delay_generate_on_device(
                     p, cfg, st, s, max_new_tokens=max_new,
-                    top_k_text=tkt, top_k_audio=tka,
+                    top_k_text=tkt, top_k_audio=tka, attend_len=attend_len,
                 ),
                 donate_argnums=(1,),
             )
-        return self._device_gen_jit[max_new]
+        return self._device_gen_jit[key]
 
     # ------------------------------------------------------------------
     def generate(
@@ -144,14 +147,26 @@ class DelayEngine:
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask), rng, sampling
         )
 
+        bucket = self.cache_bucket
         if on_device:
-            state = self._get_device_gen(max_new_tokens)(self.params, state, sampling)
-            steps = int(state.step)
-        else:
-            step_fn = self._get_step()
+            # segmented device loops: each segment runs under a while_loop
+            # with a static attend_len bucket so attention only streams the
+            # used cache prefix
             steps = 1
             while steps < max_new_tokens:
-                state = step_fn(self.params, state, sampling)
+                seg_end = min(
+                    ((T + steps) // bucket + 1) * bucket - T, max_new_tokens
+                )
+                attend = min(_round_up(T + seg_end + 1, bucket), cache_len)
+                state = self._get_device_gen(seg_end, attend)(self.params, state, sampling)
+                steps = int(jax.device_get(state.step))
+                if bool(jax.device_get(state.is_stopping).all()):
+                    break
+        else:
+            steps = 1
+            while steps < max_new_tokens:
+                attend = min(_round_up(T + steps + 1, bucket), cache_len)
+                state = self._get_step(attend)(self.params, state, sampling)
                 steps += 1
                 if steps % poll_every == 0 and bool(jax.device_get(state.is_stopping).all()):
                     break

@@ -83,6 +83,7 @@ def delay_forward(
     kv_valid: jax.Array,
     cache: Optional[KVCache] = None,
     cache_offset: jax.Array | int = 0,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[KVCache]]:
     """Returns (text_logits (B,T,V), audio_logits (B,T,n_vq,Va), cache).
     The last audio vocab index (== pad code) is masked to -inf, matching
@@ -91,6 +92,7 @@ def delay_forward(
     hidden, cache = qwen3_forward(
         params["backbone"], cfg.language_config, embeds,
         positions=positions, kv_valid=kv_valid, cache=cache, cache_offset=cache_offset,
+        attend_len=attend_len,
     )
     text_logits = dense(hidden, params["text_head"]).astype(jnp.float32)
     audio_logits = jnp.einsum(
@@ -332,14 +334,18 @@ def _delay_sample_and_update(
 def delay_decode_step(
     params, cfg: DelayConfig, state: DelayGenState, sampling: DelaySampling,
     *, top_k_text: int = 50, top_k_audio: int = 25,
+    attend_len: Optional[int] = None,
 ) -> DelayGenState:
-    """Forward the pending frame, then run the state machine once."""
+    """Forward the pending frame, then run the state machine once.
+    ``attend_len`` (static bucket) caps how much of the cache the attention
+    streams from HBM."""
     B = state.cur_ids.shape[0]
     positions = jnp.broadcast_to(state.pos[None, None], (B, 1)).astype(jnp.int32)
     text_logits, audio_logits, cache = delay_forward(
         params, cfg, state.cur_ids,
         positions=positions, kv_valid=state.kv_valid,
         cache=state.cache, cache_offset=state.pos,
+        attend_len=attend_len,
     )
     state = state._replace(cache=cache, pos=state.pos + 1)
     return _delay_sample_and_update(
@@ -409,10 +415,12 @@ def delay_train_step(params, cfg: DelayConfig, batch, lr: float = 1e-4):
 def delay_generate_on_device(
     params, cfg: DelayConfig, state: DelayGenState, sampling: DelaySampling,
     *, max_new_tokens: int, top_k_text: int = 50, top_k_audio: int = 25,
+    attend_len: Optional[int] = None,
 ) -> DelayGenState:
-    """Whole decode loop as one ``lax.while_loop`` program — zero host
+    """Decode segment as one ``lax.while_loop`` program — zero host
     round-trips (the TPU equivalent of the reference's per-step python loop
-    under tqdm, :442)."""
+    under tqdm, :442). The engine chains segments with growing
+    ``attend_len`` buckets."""
 
     def cond(st: DelayGenState):
         return (st.step < max_new_tokens) & ~jnp.all(st.is_stopping)
@@ -421,6 +429,7 @@ def delay_generate_on_device(
         return delay_decode_step(
             params, cfg, st, sampling,
             top_k_text=top_k_text, top_k_audio=top_k_audio,
+            attend_len=attend_len,
         )
 
     return jax.lax.while_loop(cond, body, state)

@@ -28,6 +28,23 @@ from ..core.config import Qwen3Config
 from ..ops.basic import apply_rope, dense, rms_norm, rope_cos_sin, swiglu
 from ..ops.attention import gqa_attention
 
+# Pallas flash attention: used for prefill on TPU (fewer HBM round-trips AND
+# ~200x faster XLA compiles than the einsum path). Gated by backend + shape.
+FLASH_MIN_Q_LEN = 16
+
+
+def _flash_ok(T: int, hd: int, H: int, KV: int) -> bool:
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return (
+        backend not in ("cpu",)
+        and T >= FLASH_MIN_Q_LEN
+        and hd in (64, 128, 256)
+        and H % KV == 0
+    )
+
 
 class KVCache(NamedTuple):
     k: jax.Array  # (L, B, S, KV, hd)
@@ -85,12 +102,18 @@ def qwen3_forward(
     kv_positions: Optional[jax.Array] = None,
     attn_window: Optional[int] = None,
     use_rope: bool = True,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Returns (last_hidden_state (B,T,D), updated cache or None).
 
     ``kv_positions`` overrides the cache slots' absolute positions (used by
     ring/sliding-window caches where slot index != position; default is the
-    linear cache where slot == position)."""
+    linear cache where slot == position).
+
+    ``attend_len`` (static) restricts attention reads to the first
+    ``attend_len`` cache slots — the engine buckets it so a decode step only
+    streams the used prefix of the cache from HBM, not the whole
+    preallocation (the dominant HBM cost at large batch)."""
     B, T, D = inputs_embeds.shape
     hd, H, KV = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     scale = hd ** -0.5
@@ -98,12 +121,25 @@ def qwen3_forward(
 
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # (B, T, hd)
 
+    # Flash kernel requires the linear slot==position layout (default) and
+    # contiguous q positions; ring-cache callers pass kv_positions explicitly
+    # and keep the einsum path. When there is no cache, slots are exactly
+    # q positions only if the q block starts at position 0.
+    use_flash = kv_positions is None and _flash_ok(T, hd, H, KV)
+
     if kv_positions is None:
         if cache is not None:
             S = cache.max_len
             kv_positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
         else:
             kv_positions = positions
+            use_flash = False  # q positions may not equal slot indices
+
+    if cache is not None and attend_len is not None and attend_len < cache.max_len:
+        kv_valid_a = kv_valid[:, :attend_len]
+        kv_positions = kv_positions[:, :attend_len]
+    else:
+        kv_valid_a = kv_valid
 
     def layer(hidden, xs):
         lp, ck, cv = xs  # layer params, cache k/v: (B, S, KV, hd)
@@ -120,18 +156,29 @@ def qwen3_forward(
         if cache is not None:
             ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
             cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
-            k_all, v_all = ck, cv
+            if attend_len is not None and attend_len < ck.shape[1]:
+                k_all, v_all = ck[:, :attend_len], cv[:, :attend_len]
+            else:
+                k_all, v_all = ck, cv
         else:
             k_all, v_all = k, v
 
-        attn = gqa_attention(
-            q, k_all, v_all,
-            q_positions=positions,
-            kv_positions=kv_positions,
-            kv_valid=kv_valid,
-            scale=scale,
-            window=attn_window,
-        ).reshape(B, T, H * hd)
+        if use_flash:
+            from ..ops.pallas.flash import flash_attention
+
+            attn = flash_attention(
+                q, k_all, v_all, kv_valid_a, positions[0, 0],
+                scale=scale, window=attn_window,
+            ).reshape(B, T, H * hd)
+        else:
+            attn = gqa_attention(
+                q, k_all, v_all,
+                q_positions=positions,
+                kv_positions=kv_positions,
+                kv_valid=kv_valid_a,
+                scale=scale,
+                window=attn_window,
+            ).reshape(B, T, H * hd)
         hidden = hidden + dense(attn, lp["wo"])
         x = rms_norm(hidden, lp["ln2"], eps)
         hidden = hidden + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])

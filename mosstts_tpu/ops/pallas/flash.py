@@ -48,12 +48,12 @@ def _flash_kernel(
         m, l, acc = carry
         k = k_ref[0, 0, pl.ds(s_idx * block_s, block_s), :].astype(jnp.float32)
         v = v_ref[0, 0, pl.ds(s_idx * block_s, block_s), :].astype(jnp.float32)
-        vmask = valid_ref[0, 0, pl.ds(s_idx * block_s, block_s)] != 0  # (bs,)
+        vmask = valid_ref[0, :, pl.ds(s_idx * block_s, block_s)] != 0  # (1, bs)
 
         scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bt, bs)
         k_pos = s_idx * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
         rel = q_pos - k_pos  # (bt, bs)
-        mask = (rel >= 0) & vmask[None, :]
+        mask = (rel >= 0) & vmask
         if window is not None:
             mask = mask & (rel < window)
         scores = jnp.where(mask, scores, NEG_INF)
