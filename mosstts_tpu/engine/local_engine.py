@@ -55,13 +55,14 @@ class LocalEngine:
             )
         return self._jit[key]
 
-    def _step_fn(self, n_vq_infer: int, eos_token_id: int):
-        key = ("step", n_vq_infer, eos_token_id)
+    def _step_fn(self, n_vq_infer: int, eos_token_id: int, attend_len=None):
+        key = ("step", n_vq_infer, eos_token_id, attend_len)
         if key not in self._jit:
             cfg = self.config
             self._jit[key] = jax.jit(
                 lambda p, st, s: local_frame_step(
-                    p, cfg, st, s, n_vq_infer=n_vq_infer, eos_token_id=eos_token_id
+                    p, cfg, st, s, n_vq_infer=n_vq_infer,
+                    eos_token_id=eos_token_id, attend_len=attend_len,
                 ),
                 donate_argnums=(1,),
             )
@@ -93,10 +94,10 @@ class LocalEngine:
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
             jax.random.PRNGKey(seed),
         )
-        step = self._step_fn(n_vq_infer, eos_token_id)
         steps = 0
         while steps < max_new_tokens:
-            state = step(self.params, state, sampling)
+            attend = min(_round_up(T + steps + 1, self.cache_bucket), cache_len)
+            state = self._step_fn(n_vq_infer, eos_token_id, attend)(self.params, state, sampling)
             steps += 1
             if steps % poll_every == 0 and not bool(jax.device_get(state.unfinished).any()):
                 break

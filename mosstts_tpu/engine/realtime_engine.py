@@ -89,26 +89,33 @@ class RealtimeEngine:
             )
 
     # ------------------------------------------------------------------
-    def _prefill_fn(self, T: int):
-        key = ("prefill", T)
+    def _prefill_fn(self, T: int, attend_len=None):
+        key = ("prefill", T, attend_len, self.top_k)
         if key not in self._jit:
             cfg, tk = self.config, self.top_k
             self._jit[key] = jax.jit(
                 lambda p, st, ids, rv, s: realtime_prefill_step(
-                    p, cfg, st, ids, rv, s, top_k=tk
+                    p, cfg, st, ids, rv, s, top_k=tk, attend_len=attend_len
                 ),
                 donate_argnums=(1,),
             )
         return self._jit[key]
 
-    def _step_fn(self):
-        if "step" not in self._jit:
+    def _step_fn(self, attend_len=None):
+        key = ("step", attend_len, self.top_k)
+        if key not in self._jit:
             cfg, tk = self.config, self.top_k
-            self._jit["step"] = jax.jit(
-                lambda p, st, t, s: realtime_decode_step(p, cfg, st, t, s, top_k=tk),
+            self._jit[key] = jax.jit(
+                lambda p, st, t, s: realtime_decode_step(
+                    p, cfg, st, t, s, top_k=tk, attend_len=attend_len
+                ),
                 donate_argnums=(1,),
             )
-        return self._jit["step"]
+        return self._jit[key]
+
+    def _attend_bucket(self, needed: int) -> int:
+        b = max(self.prefill_bucket, 128)
+        return min(((needed + b - 1) // b) * b, self.cache_len)
 
     # ------------------------------------------------------------------
     def _normalize_input_ids(self, input_ids) -> List[np.ndarray]:
@@ -200,7 +207,8 @@ class RealtimeEngine:
                 "raise cache_len or reset the conversation."
             )
 
-        self.state, frame = self._prefill_fn(max_len)(
+        attend = self._attend_bucket(used + max_len)
+        self.state, frame = self._prefill_fn(max_len, attend)(
             self.params, self.state, jnp.asarray(ids), jnp.asarray(valid), sampling
         )
         frame_np = np.asarray(jax.device_get(frame))
@@ -238,7 +246,8 @@ class RealtimeEngine:
             raise RuntimeError("KV cache overflow; reset the conversation.")
 
         sampling = make_rt_sampling(temperature, top_p, repetition_penalty, do_sample)
-        self.state, frame = self._step_fn()(
+        attend = self._attend_bucket(used + 1)
+        self.state, frame = self._step_fn(attend)(
             self.params, self.state, jnp.asarray(toks, jnp.int32), sampling
         )
         frame_np = np.asarray(jax.device_get(frame))

@@ -298,10 +298,14 @@ class AudioStreamDecoder:
         overlap = min(overlap, prev_tail.size)
         if overlap == 0:
             return wav
-        fade_out = np.linspace(1.0, 0.0, overlap, dtype=np.float32)
-        fade_in = 1.0 - fade_out
-        cross = prev_tail[-overlap:] * fade_out + wav[:overlap] * fade_in
-        merged = np.concatenate([prev_tail[:-overlap], cross, wav[overlap:]])
+        from ..utils.native import crossfade_native
+
+        merged = crossfade_native(prev_tail, wav, overlap)
+        if merged is None:
+            fade_out = np.linspace(1.0, 0.0, overlap, dtype=np.float32)
+            fade_in = 1.0 - fade_out
+            cross = prev_tail[-overlap:] * fade_out + wav[:overlap] * fade_in
+            merged = np.concatenate([prev_tail[:-overlap], cross, wav[overlap:]])
         self._prev_tail = None if final_chunk else wav[-overlap:].copy()
         return merged
 

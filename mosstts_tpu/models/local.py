@@ -157,6 +157,78 @@ def _sample_channel(rng, logits, temp, top_p, top_k, do_sample):
 # Generation
 # --------------------------------------------------------------------------
 
+def local_loss(
+    params, cfg: LocalConfig,
+    ids: jax.Array,  # (B, T, 1+n_vq)
+    attention_mask: jax.Array,  # (B, T)
+    labels: jax.Array,  # (B, T, 1+n_vq), -100 ignore
+    channel_weights: Optional[jax.Array] = None,  # (C,)
+    n_vq_infer: Optional[int] = None,
+):
+    """Teacher-forced training loss (reference MossTTSDelayModel.forward,
+    moss_tts_local/modeling_moss_tts.py:652-743): backbone hidden feeds depth
+    position 0; positions 1..C-1 embed the (masked) label channels; the depth
+    transformer runs over (B*T, C, Dl) blocks; per-channel CE with weights."""
+    B, T, C = ids.shape
+    lc = cfg.language_config
+    lcfg = cfg.local_transformer_config
+    n = n_vq_infer or cfg.n_vq
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+
+    embeds = local_embed(params, cfg, ids, n)
+    hidden, _ = qwen3_forward(
+        params["backbone"], lc, embeds, positions=positions, kv_valid=attention_mask
+    )  # (B, T, D)
+
+    # depth inputs: [g_t, emb_0(lab_0), ..., emb_{C-2}(lab_{C-2})]
+    Va = cfg.audio_emb_vocab
+    lab = labels
+    valid_lab = lab != -100
+    safe = jnp.where(valid_lab, lab, 0)
+    chans = [hidden]
+    text_e = jnp.take(params["text_emb"], safe[..., 0], axis=0)
+    chans.append(jnp.where(valid_lab[..., 0:1], text_e, 0.0))
+    for i in range(C - 2):
+        e = jnp.take(params["audio_emb"][i], jnp.clip(safe[..., i + 1], 0, Va - 1), axis=0)
+        chans.append(jnp.where(valid_lab[..., i + 1 : i + 2], e, 0.0))
+    blocks = jnp.stack(chans, axis=2)  # (B, T, C, D)
+    blocks = _mlp(params["mlp_in"], blocks)  # (B, T, C, Dl)
+    flat = blocks.reshape(B * T, C, -1)
+
+    h, _ = qwen3_forward(
+        params["local"], lcfg, flat,
+        positions=jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B * T, C)),
+        kv_valid=jnp.ones((B * T, C), jnp.bool_),
+        use_rope=False,
+    )  # (B*T, C, Dl)
+
+    def ce(logits, labch):
+        valid = labch != -100
+        sf = jnp.where(valid, labch, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, sf[..., None], axis=-1)[..., 0]
+        nll = jnp.where(valid, nll, 0.0)
+        cnt = jnp.maximum(valid.sum(), 1)
+        return nll.sum() / cnt
+
+    losses = []
+    y0 = rms_norm(_mlp(params["mlp_out_text"], h[:, 0]), params["ln_text"], lcfg.rms_norm_eps)
+    logits0 = dense(y0, params["text_head"])
+    losses.append(ce(logits0.reshape(B, T, -1), labels[..., 0]))
+    for i in range(C - 1):
+        y = _mlp(params["mlp_out_audio"], h[:, i + 1], idx=i)
+        y = rms_norm(y, params["ln_audio"][i], lcfg.rms_norm_eps)
+        logits = dense(y, params["audio_heads"][i])
+        losses.append(ce(logits.reshape(B, T, -1), labels[..., i + 1]))
+    loss_all = jnp.stack(losses)
+    if channel_weights is None:
+        w = jnp.ones((C,), jnp.float32)
+    else:
+        w = jnp.asarray(channel_weights, jnp.float32)
+    w = w / w.sum()
+    return (loss_all * w).sum(), {"loss_all": loss_all}
+
+
 class LocalGenState(NamedTuple):
     cache: KVCache
     kv_valid: jax.Array  # (B, S)
@@ -251,7 +323,7 @@ def _depth_decode(params, cfg: LocalConfig, rng, g: jax.Array,
 
 def local_frame_step(
     params, cfg: LocalConfig, state: LocalGenState, sampling: LocalSampling,
-    *, n_vq_infer: int, eos_token_id: int,
+    *, n_vq_infer: int, eos_token_id: int, attend_len: Optional[int] = None,
 ) -> LocalGenState:
     B = state.cur_ids.shape[0]
     lc = cfg.language_config
@@ -262,7 +334,7 @@ def local_frame_step(
     hidden, cache = qwen3_forward(
         params["backbone"], lc, embeds,
         positions=positions, kv_valid=state.kv_valid,
-        cache=state.cache, cache_offset=state.pos,
+        cache=state.cache, cache_offset=state.pos, attend_len=attend_len,
     )
     g = hidden[:, -1]
 

@@ -165,6 +165,63 @@ def depth_generate_frame(
     return jnp.transpose(toks, (1, 0))  # (B, rvq)
 
 
+def realtime_loss(
+    params, cfg: RealtimeConfig,
+    ids: jax.Array,  # (B, T, 1+rvq)
+    attention_mask: jax.Array,  # (B, T)
+    labels: jax.Array,  # (B, T, 1+rvq), -100 ignore; audio channels trained
+):
+    """Training forward (reference modeling_mossttsrealtime.py:149-171):
+    backbone runs over the grid; frames whose audio labels are all -100 are
+    skipped; the local transformer is teacher-forced per frame with the
+    backbone hidden of the PREVIOUS position as depth slot 0; loss is CE over
+    the rvq codebooks.
+
+    The reference gathers only the trainable frames; on TPU we keep the
+    fixed (B, T) lattice and mask — identical loss, static shapes."""
+    lc = cfg.language_config
+    loc = cfg.local_config
+    lq = local_qwen_cfg(loc)
+    B, T, C = ids.shape
+    R = cfg.rvq
+    Va = loc.audio_vocab_size
+
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    embeds = realtime_embed(params, cfg, ids)
+    hidden, _ = qwen3_forward(
+        params["backbone"], lc, embeds, positions=positions, kv_valid=attention_mask
+    )
+
+    audio_labels = labels[..., 1:]  # (B, T, R)
+    train_mask = ~jnp.all(audio_labels == -100, axis=-1)  # (B, T)
+    # depth slot 0 = hidden at position t-1 (clamped), reference :157
+    prev_hidden = jnp.concatenate([hidden[:, :1], hidden[:, :-1]], axis=1)
+
+    # depth inputs: slot 0 prev_hidden; slot i>=1 embeds label codebook i-1
+    safe = jnp.where(audio_labels == -100, loc.audio_pad_token, audio_labels)
+    safe = jnp.clip(safe, 0, Va - 1)
+    chans = [prev_hidden]
+    for i in range(R - 1):
+        chans.append(jnp.take(params["local_emb"][i], safe[..., i], axis=0))
+    blocks = jnp.stack(chans, axis=2).reshape(B * T, R, -1)
+
+    h, _ = qwen3_forward(
+        params["local"], lq, blocks,
+        positions=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None], (B * T, R)),
+        kv_valid=jnp.ones((B * T, R), jnp.bool_),
+    )  # (B*T, R, D)
+    logits = jnp.einsum(
+        "brd,rdv->brv", h, params["local_heads"], preferred_element_type=jnp.float32
+    ).reshape(B, T, R, Va)
+
+    valid = (audio_labels != -100) & train_mask[..., None]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / count, {"trained_frames": train_mask.sum()}
+
+
 class RealtimeState(NamedTuple):
     """Carried decode state for one conversation (multi-turn KV reuse ==
     cache carry + mask concat, reference streaming:78-87,177-179)."""
@@ -183,7 +240,7 @@ def realtime_prefill_step(
     input_ids: jax.Array,  # (B, T, 1+rvq) new rows (left-padded)
     row_valid: jax.Array,  # (B, T)
     sampling: RealtimeSampling,
-    *, top_k: int = 30,
+    *, top_k: int = 30, attend_len: Optional[int] = None,
 ) -> Tuple[RealtimeState, jax.Array]:
     """Feed T new rows at the current cache offset, then decode the first
     frame. Returns (state, frame (B, rvq))."""
@@ -196,7 +253,7 @@ def realtime_prefill_step(
     hidden, cache = qwen3_forward(
         params["backbone"], lc, embeds,
         positions=positions, kv_valid=kv_valid, cache=state.cache,
-        cache_offset=offset,
+        cache_offset=offset, attend_len=attend_len,
     )
     rng, rng_f = jax.random.split(state.rng)
     frame = depth_generate_frame(
@@ -221,7 +278,7 @@ def realtime_decode_step(
     params, cfg: RealtimeConfig, state: RealtimeState,
     text_token: jax.Array,  # (B,)
     sampling: RealtimeSampling,
-    *, top_k: int = 30,
+    *, top_k: int = 30, attend_len: Optional[int] = None,
 ) -> Tuple[RealtimeState, jax.Array]:
     """One frame: input row = [text_token | prev audio frame]; the new row's
     mask bit is ~is_stopping (reference streaming:241-242)."""
@@ -231,7 +288,8 @@ def realtime_decode_step(
     )
     row_valid = (~state.is_stopping)[:, None]
     new_state, frame = realtime_prefill_step(
-        params, cfg, state, step_ids, row_valid, sampling, top_k=top_k
+        params, cfg, state, step_ids, row_valid, sampling, top_k=top_k,
+        attend_len=attend_len,
     )
     # frozen rows keep their last frame (reference returns last tokens when
     # finished, streaming:223-224)

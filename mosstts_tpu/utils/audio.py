@@ -53,9 +53,16 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
 
 
 def resample(wav: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
-    """Polyphase resampling along the last axis."""
+    """Polyphase resampling along the last axis (native C++ kernel when
+    built, scipy fallback otherwise)."""
     if orig_sr == new_sr:
         return wav
+    if wav.ndim == 1:
+        from .native import resample_native
+
+        native = resample_native(wav, orig_sr, new_sr)
+        if native is not None:
+            return native
     from math import gcd
 
     g = gcd(int(orig_sr), int(new_sr))
@@ -82,6 +89,11 @@ def loudness_normalize(
     wav = np.asarray(wav, np.float32)
     if wav.size == 0:
         return wav
+    from .native import loudness_normalize_native
+
+    native = loudness_normalize_native(wav, target_dbfs, gain_range)
+    if native is not None:
+        return native
     current = 10.0 * np.log10(float(np.mean(wav**2)) + 1e-9)
     gain = float(np.clip(target_dbfs - current, gain_range[0], gain_range[1]))
     return wav * (10.0 ** (gain / 20.0))
