@@ -41,7 +41,7 @@ def read_wav(path: str | Path) -> Tuple[np.ndarray, int]:
 
 def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     """samples: (T,) or (channels, T) float32 in [-1, 1] -> 16-bit PCM."""
-    samples = np.asarray(samples, np.float32)
+    samples = np.nan_to_num(np.asarray(samples, np.float32))
     if samples.ndim == 1:
         samples = samples[None]
     pcm = np.clip(samples.T * 32767.0, -32768, 32767).astype("<i2")
