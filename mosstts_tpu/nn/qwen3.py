@@ -141,8 +141,7 @@ def qwen3_forward(
     else:
         kv_valid_a = kv_valid
 
-    def layer(hidden, xs):
-        lp, ck, cv = xs  # layer params, cache k/v: (B, S, KV, hd)
+    def qkv(lp, hidden):
         x = rms_norm(hidden, lp["ln1"], eps)
         q = dense(x, lp["wq"]).reshape(B, T, H, hd)
         k = dense(x, lp["wk"]).reshape(B, T, KV, hd)
@@ -152,17 +151,9 @@ def qwen3_forward(
         if use_rope:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+        return q, k, v
 
-        if cache is not None:
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_offset, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_offset, 0, 0))
-            if attend_len is not None and attend_len < ck.shape[1]:
-                k_all, v_all = ck[:, :attend_len], cv[:, :attend_len]
-            else:
-                k_all, v_all = ck, cv
-        else:
-            k_all, v_all = k, v
-
+    def attend(lp, hidden, q, k_all, v_all):
         if use_flash:
             from ..ops.pallas.flash import flash_attention
 
@@ -181,19 +172,49 @@ def qwen3_forward(
             ).reshape(B, T, H * hd)
         hidden = hidden + dense(attn, lp["wo"])
         x = rms_norm(hidden, lp["ln2"], eps)
-        hidden = hidden + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
-        return hidden, (ck, cv)
+        return hidden + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
 
     if cache is not None:
-        xs = (params["layers"], cache.k, cache.v)
-    else:
-        L = cfg.num_hidden_layers
-        dummy = jnp.zeros((L, 0), inputs_embeds.dtype)
-        xs = (params["layers"], dummy, dummy)
+        # The full (L, B, S, KV, hd) cache rides the scan CARRY: per-layer
+        # updates are tiny in-place dynamic_update_slices and attention
+        # reads only the attended slice. (Passing per-layer cache through
+        # scan xs/ys makes XLA materialize a full cache copy every step —
+        # ~2x HBM traffic at serving batch sizes.)
+        S = cache.max_len
+        a_len = attend_len if (attend_len is not None and attend_len < S) else S
 
-    hidden, (new_k, new_v) = jax.lax.scan(layer, inputs_embeds, xs)
+        def layer(carry, xs):
+            hidden, kf, vf = carry
+            lp, li = xs
+            q, k, v = qkv(lp, hidden)
+            kf = jax.lax.dynamic_update_slice(
+                kf, k.astype(kf.dtype)[None], (li, 0, cache_offset, 0, 0)
+            )
+            vf = jax.lax.dynamic_update_slice(
+                vf, v.astype(vf.dtype)[None], (li, 0, cache_offset, 0, 0)
+            )
+            k_all = jax.lax.dynamic_slice(
+                kf, (li, 0, 0, 0, 0), (1, B, a_len, KV, hd))[0]
+            v_all = jax.lax.dynamic_slice(
+                vf, (li, 0, 0, 0, 0), (1, B, a_len, KV, hd))[0]
+            hidden = attend(lp, hidden, q, k_all, v_all)
+            return (hidden, kf, vf), None
+
+        L = cfg.num_hidden_layers
+        (hidden, new_k, new_v), _ = jax.lax.scan(
+            layer, (inputs_embeds, cache.k, cache.v),
+            (params["layers"], jnp.arange(L, dtype=jnp.int32)),
+        )
+        new_cache = KVCache(new_k, new_v)
+    else:
+        def layer_nc(hidden, lp):
+            q, k, v = qkv(lp, hidden)
+            return attend(lp, hidden, q, k, v), None
+
+        hidden, _ = jax.lax.scan(layer_nc, inputs_embeds, params["layers"])
+        new_cache = None
+
     hidden = rms_norm(hidden, params["final_norm"], eps)
-    new_cache = KVCache(new_k, new_v) if cache is not None else None
     return hidden, new_cache
 
 
