@@ -1,0 +1,232 @@
+"""HTTP serving front end (stdlib, dependency-free).
+
+The reference exposes its five flows through gradio apps; this framework's
+serving surface is an HTTP API (gradio optional, not required):
+
+    GET  /healthz                     -> {"ok": true}
+    POST /tts           {"text", "mode", "reference_b64?", ...} -> WAV bytes
+    POST /ttsd          {"dialogue", ...}                       -> WAV bytes
+    POST /sound_effect  {"ambient", "seconds", ...}             -> WAV bytes
+    POST /voice_gen     {"text", "instruction", ...}            -> WAV bytes
+    POST /stream        {"text", ...} -> chunked PCM16 stream (streaming
+                        realtime path; headers carry sample rate + TTFA)
+    GET  /metrics                     -> last synthesis metrics JSON
+
+Run: python -m mosstts_tpu.serve.http_server --port 7860 [--model-path ...]
+"""
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..engine.metrics import SynthesisMetrics
+from ..utils.native import float_to_pcm16
+
+_STATE = {"last_metrics": None, "lock": threading.Lock(), "args": None}
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(float_to_pcm16(np.nan_to_num(wav)).tobytes())
+    return buf.getvalue()
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, fmt, *args):  # quiet
+        pass
+
+    def _json_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length) or b"{}")
+
+    def _send(self, code: int, body: bytes, ctype: str, extra=None):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            self.send_header(k, str(v))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, obj, code=200):
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    # -------------------------------------------------------------- GET
+    def do_GET(self):
+        if self.path == "/healthz":
+            return self._send_json({"ok": True})
+        if self.path == "/metrics":
+            with _STATE["lock"]:
+                m = _STATE["last_metrics"]
+            return self._send_json(m or {})
+        self._send_json({"error": "not found"}, 404)
+
+    # -------------------------------------------------------------- POST
+    def do_POST(self):
+        try:
+            body = self._json_body()
+            if self.path == "/tts":
+                return self._tts(body)
+            if self.path == "/ttsd":
+                return self._ttsd(body)
+            if self.path == "/sound_effect":
+                return self._sfx(body)
+            if self.path == "/voice_gen":
+                return self._voice(body)
+            if self.path == "/stream":
+                return self._stream(body)
+            self._send_json({"error": "not found"}, 404)
+        except Exception as e:  # serving surface: report, don't crash
+            self._send_json({"error": f"{type(e).__name__}: {e}"}, 400)
+
+    def _sampling(self, body):
+        return {
+            k: body[k]
+            for k in ("temperature", "top_p", "top_k", "repetition_penalty")
+            if k in body
+        }
+
+    def _record(self, metrics: SynthesisMetrics):
+        with _STATE["lock"]:
+            _STATE["last_metrics"] = metrics.report()
+
+    def _backend(self):
+        from .backend import load_delay_backend
+
+        a = _STATE["args"]
+        return load_delay_backend(a.model_path, a.codec_path)
+
+    def _tts(self, body):
+        from .pipelines import synthesize
+
+        backend = self._backend()
+        ref = None
+        if body.get("reference_b64"):
+            raw = base64.b64decode(body["reference_b64"])
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                f.write(raw)
+                ref = f.name
+        m = SynthesisMetrics(sample_rate=backend.sample_rate)
+        sr, wav, status = synthesize(
+            backend, body["text"], mode=body.get("mode", "Direct"),
+            reference_audio=ref,
+            duration_tokens=body.get("duration_tokens"),
+            max_new_tokens=int(body.get("max_new_tokens", 2000)),
+            seed=int(body.get("seed", 0)), **self._sampling(body),
+        )
+        m.add_audio(wav.size)
+        self._record(m)
+        self._send(200, _wav_bytes(wav, sr), "audio/wav", {"X-Status": status})
+
+    def _ttsd(self, body):
+        from .pipelines import synthesize_dialogue
+
+        backend = self._backend()
+        m = SynthesisMetrics(sample_rate=backend.sample_rate)
+        sr, wav, status = synthesize_dialogue(
+            backend, body["dialogue"],
+            max_new_tokens=int(body.get("max_new_tokens", 4000)),
+            seed=int(body.get("seed", 0)), **self._sampling(body),
+        )
+        m.add_audio(wav.size)
+        self._record(m)
+        self._send(200, _wav_bytes(wav, sr), "audio/wav", {"X-Status": status})
+
+    def _sfx(self, body):
+        from .pipelines import generate_sound_effect
+
+        backend = self._backend()
+        sr, wav, status = generate_sound_effect(
+            backend, body["ambient"], float(body.get("seconds", 4.0)),
+            seed=int(body.get("seed", 0)), **self._sampling(body),
+        )
+        self._send(200, _wav_bytes(wav, sr), "audio/wav", {"X-Status": status})
+
+    def _voice(self, body):
+        from .pipelines import generate_voice
+
+        backend = self._backend()
+        sr, wav, status = generate_voice(
+            backend, body["text"], body.get("instruction", ""),
+            max_new_tokens=int(body.get("max_new_tokens", 2000)),
+            seed=int(body.get("seed", 0)), **self._sampling(body),
+        )
+        self._send(200, _wav_bytes(wav, sr), "audio/wav", {"X-Status": status})
+
+    def _stream(self, body):
+        """Chunked PCM16 streaming over the realtime path; TTFA in trailer-free
+        headers is approximated by the first chunk's arrival."""
+        from ..engine.streaming import (
+            AudioStreamDecoder,
+            RealtimeStreamingSession,
+            RealtimeTextStreamBridge,
+        )
+        from .backend import load_realtime_backend
+
+        a = _STATE["args"]
+        engine, proc, codec = load_realtime_backend(a.model_path, a.codec_path)
+        session = RealtimeStreamingSession(
+            engine, proc, codec=codec,
+            temperature=float(body.get("temperature", 0.8)),
+            top_p=float(body.get("top_p", 0.6)),
+            top_k=int(body.get("top_k", 30)),
+            repetition_penalty=body.get("repetition_penalty", 1.1),
+        )
+        rng = np.random.default_rng(int(body.get("seed", 0)))
+        user_audio = rng.integers(0, 1024, (int(body.get("user_audio_frames", 4)),
+                                            engine.config.rvq))
+        session.reset_turn(user_text=body.get("user_text", ""),
+                           user_audio_tokens=user_audio)
+        decoder = AudioStreamDecoder(codec, chunk_frames=int(body.get("chunk_frames", 12)),
+                                     overlap_frames=int(body.get("overlap_frames", 2)))
+        bridge = RealtimeTextStreamBridge(session, decoder)
+        m = SynthesisMetrics(sample_rate=codec.sampling_rate)
+
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Sample-Rate", str(codec.sampling_rate))
+        self.end_headers()
+
+        def emit(chunk: np.ndarray):
+            pcm = float_to_pcm16(np.nan_to_num(chunk)).tobytes()
+            self.wfile.write(f"{len(pcm):X}\r\n".encode())
+            self.wfile.write(pcm)
+            self.wfile.write(b"\r\n")
+            m.add_audio(chunk.size)
+
+        with codec.streaming(batch_size=1):
+            for wav in bridge.stream_from_text_deltas([body["text"]]):
+                emit(wav)
+        self.wfile.write(b"0\r\n\r\n")
+        self._record(m)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--model-path", default=None)
+    ap.add_argument("--codec-path", default=None)
+    args = ap.parse_args(argv)
+    _STATE["args"] = args
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"mosstts-tpu serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

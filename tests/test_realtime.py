@@ -168,3 +168,24 @@ def test_stream_decoder_crossfade_lengths():
     assert chunks[1].size == 40  # tail(10) + chunk(40) - overlap(10)
     tailwav = dec.flush()
     assert tailwav is not None
+
+
+def test_batch_generate_nonstreaming(engine, proc):
+    """Non-streaming batch path (reference inferencer.py:178-297 analogue)."""
+    rng = np.random.default_rng(5)
+    grids, text_ids = [], []
+    for t in ["reply one", "a longer reply two"]:
+        user_audio = rng.integers(0, 1024, (4, RVQ))
+        grid = np.concatenate(
+            [proc.make_ensemble(None), proc.make_user_prompt("q", user_audio)], axis=0
+        )
+        grids.append(grid)
+        text_ids.append(proc.tokenizer.encode(t))
+    frames = engine.generate(grids, text_ids, max_length=12, prefill_text_len=4,
+                             do_sample=False, temperature=0.0)
+    assert len(frames) == 2
+    for f in frames:
+        assert f.ndim == 2 and f.shape[1] == RVQ
+        # trimmed at EOS if any
+        if f.shape[0]:
+            assert (f[:, 0] != engine.config.audio_eos_token).all()
