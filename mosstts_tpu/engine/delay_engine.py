@@ -33,6 +33,15 @@ from ..models.delay import (
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
+def attend_bucket(needed: int, base: int, cap: int) -> int:
+    """Exponentially growing attend-length buckets: smallest base*2^k >= needed,
+    capped. Keeps the number of distinct compiled step programs at
+    O(log(max_len)) for hour-long generations (vs linear buckets)."""
+    b = base
+    while b < needed:
+        b *= 2
+    return min(b, cap)
+
 
 class DelayEngine:
     def __init__(
@@ -154,10 +163,8 @@ class DelayEngine:
             # used cache prefix
             steps = 1
             while steps < max_new_tokens:
-                seg_end = min(
-                    ((T + steps) // bucket + 1) * bucket - T, max_new_tokens
-                )
-                attend = min(_round_up(T + seg_end + 1, bucket), cache_len)
+                attend = attend_bucket(T + steps + 2, bucket, cache_len)
+                seg_end = min(attend - T - 1, max_new_tokens)
                 state = self._get_device_gen(seg_end, attend)(self.params, state, sampling)
                 steps = int(jax.device_get(state.step))
                 if bool(jax.device_get(state.is_stopping).all()):
@@ -165,7 +172,7 @@ class DelayEngine:
         else:
             steps = 1
             while steps < max_new_tokens:
-                attend = min(_round_up(T + steps + 1, bucket), cache_len)
+                attend = attend_bucket(T + steps + 1, bucket, cache_len)
                 state = self._get_step(attend)(self.params, state, sampling)
                 steps += 1
                 if steps % poll_every == 0 and bool(jax.device_get(state.is_stopping).all()):

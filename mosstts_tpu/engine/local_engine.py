@@ -26,6 +26,8 @@ from ..models.local import (
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
+from .delay_engine import attend_bucket
+
 
 class LocalEngine:
     def __init__(self, params, config: LocalConfig, *, dtype=jnp.bfloat16,
@@ -96,7 +98,7 @@ class LocalEngine:
         )
         steps = 0
         while steps < max_new_tokens:
-            attend = min(_round_up(T + steps + 1, self.cache_bucket), cache_len)
+            attend = attend_bucket(T + steps + 1, self.cache_bucket, cache_len)
             state = self._step_fn(n_vq_infer, eos_token_id, attend)(self.params, state, sampling)
             steps += 1
             if steps % poll_every == 0 and not bool(jax.device_get(state.unfinished).any()):

@@ -114,8 +114,9 @@ class RealtimeEngine:
         return self._jit[key]
 
     def _attend_bucket(self, needed: int) -> int:
-        b = max(self.prefill_bucket, 128)
-        return min(((needed + b - 1) // b) * b, self.cache_len)
+        from .delay_engine import attend_bucket
+
+        return attend_bucket(needed, max(self.prefill_bucket, 128), self.cache_len)
 
     # ------------------------------------------------------------------
     def _normalize_input_ids(self, input_ids) -> List[np.ndarray]:
