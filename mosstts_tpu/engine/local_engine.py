@@ -82,7 +82,10 @@ class LocalEngine:
         eos_token_id: int = 151653,
         seed: int = 0,
         poll_every: int = 8,
+        streamer=None,
     ) -> List[Tuple[int, np.ndarray]]:
+        """``streamer``: optional object with put(np.ndarray)/end() receiving
+        each step's text-channel tokens (reference CustomMixin :435-436)."""
         cfg = self.config
         input_ids = np.asarray(input_ids, np.int64)
         B, T, C = input_ids.shape
@@ -101,9 +104,13 @@ class LocalEngine:
             attend = attend_bucket(T + steps + 1, self.cache_bucket, cache_len)
             state = self._step_fn(n_vq_infer, eos_token_id, attend)(self.params, state, sampling)
             steps += 1
+            if streamer is not None:
+                streamer.put(np.asarray(jax.device_get(state.cur_ids))[:, 0, 0])
             if steps % poll_every == 0 and not bool(jax.device_get(state.unfinished).any()):
                 break
 
+        if streamer is not None:
+            streamer.end()
         out = np.asarray(jax.device_get(state.out))[:, :steps]
         full = np.concatenate([input_ids, out.astype(np.int64)], axis=1)
 

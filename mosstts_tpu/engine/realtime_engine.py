@@ -40,6 +40,7 @@ class RealtimeEngine:
         dtype=jnp.bfloat16,
         max_length: int = 1000,
         cache_len: int = 4096,
+        max_context: int = 32768,
         prefill_bucket: int = 16,
         top_k: int = 30,
     ):
@@ -48,6 +49,7 @@ class RealtimeEngine:
         self.dtype = dtype
         self.max_length = max_length
         self.cache_len = cache_len
+        self.max_context = max_context
         self.prefill_bucket = prefill_bucket
         self.top_k = top_k
         self._jit: Dict[Any, Any] = {}
@@ -112,6 +114,36 @@ class RealtimeEngine:
                 donate_argnums=(1,),
             )
         return self._jit[key]
+
+    def _ensure_capacity(self, needed_total: int):
+        """Grow the backbone cache toward ``max_context`` (32K ~ 40 min of
+        multi-turn dialogue, docs/moss_tts_realtime_model_card.md:17) instead
+        of overflowing; doubles the S dimension and pads state buffers."""
+        if needed_total <= self.cache_len or self.state is None:
+            return
+        from .delay_engine import attend_bucket
+        from ..nn.qwen3 import KVCache
+        import jax.numpy as jnp
+
+        new_len = attend_bucket(needed_total, self.cache_len, self.max_context)
+        if new_len < needed_total:
+            raise RuntimeError(
+                f"conversation exceeds max_context={self.max_context} slots; "
+                "reset the conversation."
+            )
+        pad = new_len - self.cache_len
+        st = self.state
+        kpad = jnp.zeros(st.cache.k.shape[:2] + (pad,) + st.cache.k.shape[3:], st.cache.k.dtype)
+        self.state = st._replace(
+            cache=KVCache(
+                jnp.concatenate([st.cache.k, kpad], axis=2),
+                jnp.concatenate([st.cache.v, kpad], axis=2),
+            ),
+            kv_valid=jnp.concatenate(
+                [st.kv_valid, jnp.zeros((st.kv_valid.shape[0], pad), jnp.bool_)], axis=1
+            ),
+        )
+        self.cache_len = new_len
 
     def _attend_bucket(self, needed: int) -> int:
         from .delay_engine import attend_bucket
@@ -202,11 +234,7 @@ class RealtimeEngine:
             self._batch = B
         # capacity check (cache overflow would silently clamp)
         used = int(jax.device_get(self.state.cur_len))
-        if used + max_len > self.cache_len:
-            raise RuntimeError(
-                f"KV cache overflow: {used}+{max_len} > {self.cache_len}; "
-                "raise cache_len or reset the conversation."
-            )
+        self._ensure_capacity(used + max_len)
 
         attend = self._attend_bucket(used + max_len)
         self.state, frame = self._prefill_fn(max_len, attend)(
@@ -243,8 +271,7 @@ class RealtimeEngine:
         if len(toks) != B:
             raise ValueError(f"text_token batch size mismatch: got {len(toks)}, expected {B}.")
         used = int(jax.device_get(self.state.cur_len))
-        if used + 1 > self.cache_len:
-            raise RuntimeError("KV cache overflow; reset the conversation.")
+        self._ensure_capacity(used + 1)
 
         sampling = make_rt_sampling(temperature, top_p, repetition_penalty, do_sample)
         attend = self._attend_bucket(used + 1)

@@ -84,11 +84,42 @@ def delay_forward(
     cache: Optional[KVCache] = None,
     cache_offset: jax.Array | int = 0,
     attend_len: Optional[int] = None,
+    hidden_out_layers: Optional[list] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[KVCache]]:
     """Returns (text_logits (B,T,V), audio_logits (B,T,n_vq,Va), cache).
     The last audio vocab index (== pad code) is masked to -inf, matching
-    reference forward :292-300."""
+    reference forward :292-300.
+
+    ``hidden_out_layers`` optionally sources each head from a different
+    backbone layer (MusicGen-style, reference forward :278-289); entry 0 is
+    the text head, entries 1..n_vq the audio heads; indices follow HF
+    hidden_states (0 = embeddings, -1 = last layer). Only supported on the
+    uncached (training/analysis) path."""
     embeds = delay_embed(params, cfg, ids)
+    if hidden_out_layers is not None:
+        if cache is not None:
+            raise ValueError("hidden_out_layers requires the uncached path")
+        _, (_, all_hs) = qwen3_forward(
+            params["backbone"], cfg.language_config, embeds,
+            positions=positions, kv_valid=kv_valid,
+            output_hidden_states=True,
+        )
+        if len(hidden_out_layers) != 1 + cfg.n_vq:
+            raise ValueError("hidden_out_layers must have 1 + n_vq entries")
+        text_h = all_hs[hidden_out_layers[0]]
+        text_logits = dense(text_h, params["text_head"]).astype(jnp.float32)
+        audio_logits = jnp.stack(
+            [
+                jnp.einsum(
+                    "btd,dv->btv", all_hs[hidden_out_layers[i + 1]],
+                    params["audio_heads"][i], preferred_element_type=jnp.float32,
+                )
+                for i in range(cfg.n_vq)
+            ],
+            axis=2,
+        )
+        audio_logits = audio_logits.at[..., -1].set(NEG_INF)
+        return text_logits, audio_logits, None
     hidden, cache = qwen3_forward(
         params["backbone"], cfg.language_config, embeds,
         positions=positions, kv_valid=kv_valid, cache=cache, cache_offset=cache_offset,

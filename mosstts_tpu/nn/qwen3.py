@@ -103,6 +103,7 @@ def qwen3_forward(
     attn_window: Optional[int] = None,
     use_rope: bool = True,
     attend_len: Optional[int] = None,
+    output_hidden_states: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Returns (last_hidden_state (B,T,D), updated cache or None).
 
@@ -209,10 +210,16 @@ def qwen3_forward(
     else:
         def layer_nc(hidden, lp):
             q, k, v = qkv(lp, hidden)
-            return attend(lp, hidden, q, k, v), None
+            out = attend(lp, hidden, q, k, v)
+            return out, (out if output_hidden_states else None)
 
-        hidden, _ = jax.lax.scan(layer_nc, inputs_embeds, params["layers"])
+        hidden, per_layer = jax.lax.scan(layer_nc, inputs_embeds, params["layers"])
         new_cache = None
+        if output_hidden_states:
+            # (embeds, layer_1, ..., layer_L) like HF hidden_states
+            all_hs = jnp.concatenate([inputs_embeds[None], per_layer], axis=0)
+            hidden = rms_norm(hidden, params["final_norm"], eps)
+            return hidden, (new_cache, all_hs)
 
     hidden = rms_norm(hidden, params["final_norm"], eps)
     return hidden, new_cache
