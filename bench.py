@@ -77,7 +77,7 @@ def main():
     t0 = time.perf_counter()
     state = prefill(engine.params, jnp.asarray(ids), jnp.asarray(mask),
                     jax.random.PRNGKey(0), sampling)
-    jax.block_until_ready(state.out)
+    jax.device_get(state.is_stopping)
     prefill_s = time.perf_counter() - t0
     print(f"bench: prefill done in {prefill_s:.1f}s; compiling step...",
           file=sys.stderr, flush=True)
@@ -85,14 +85,16 @@ def main():
     for i in range(args.warmup):
         state = step(engine.params, state, sampling)
         if i == 0:
-            jax.block_until_ready(state.out)
+            jax.device_get(state.is_stopping)
             print("bench: step compiled; warming up...", file=sys.stderr, flush=True)
-    jax.block_until_ready(state.out)
+    jax.device_get(state.is_stopping)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state = step(engine.params, state, sampling)
-    jax.block_until_ready(state.out)
+    # device_get: on the axon platform block_until_ready does NOT wait;
+    # only a host transfer truly synchronizes
+    jax.device_get(state.is_stopping)
     elapsed = time.perf_counter() - t0
 
     frames_per_sec = args.batch * args.steps / elapsed
