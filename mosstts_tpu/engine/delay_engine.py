@@ -71,6 +71,19 @@ class DelayEngine:
         params = init_delay_params(jax.random.PRNGKey(seed), config, dtype=dtype)
         return cls(params, config, dtype=dtype, **kw)
 
+    def quantize(self, mode: str = "int8") -> "DelayEngine":
+        """Weight-only int8 serving quantization (halves decode HBM traffic);
+        embeddings/norms stay in the original dtype."""
+        if mode != "int8":
+            raise ValueError(f"unknown quantization mode: {mode}")
+        from ..ops.quant import quantize_tree
+
+        self.params = quantize_tree(self.params)
+        self._prefill_jit.clear()
+        self._step_jit.clear()
+        self._device_gen_jit.clear()
+        return self
+
     # ------------------------------------------------------------------
     def _get_prefill(self, max_new: int, cache_len: int):
         key = (max_new, cache_len)

@@ -39,6 +39,21 @@ SENTINEL = jnp.int32(1 << 30)
 NEG_INF = -1e30
 
 
+def _audio_head_logits(hidden, heads):
+    """(B,T,D) x (n,D,V) -> (B,T,n,V); heads may be int8-quantized."""
+    from ..ops.quant import QuantWeight
+
+    if isinstance(heads, QuantWeight):
+        logits = jnp.einsum(
+            "btd,ndv->btnv", hidden, heads.q.astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * heads.scale[None, None]
+    return jnp.einsum(
+        "btd,ndv->btnv", hidden, heads, preferred_element_type=jnp.float32
+    )
+
+
 # --------------------------------------------------------------------------
 # Params
 # --------------------------------------------------------------------------
@@ -126,10 +141,7 @@ def delay_forward(
         attend_len=attend_len,
     )
     text_logits = dense(hidden, params["text_head"]).astype(jnp.float32)
-    audio_logits = jnp.einsum(
-        "btd,ndv->btnv", hidden, params["audio_heads"],
-        preferred_element_type=jnp.float32,
-    )
+    audio_logits = _audio_head_logits(hidden, params["audio_heads"])
     audio_logits = audio_logits.at[..., -1].set(NEG_INF)
     return text_logits, audio_logits, cache
 

@@ -19,9 +19,17 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (weight.astype(jnp.float32) * xf).astype(dtype)
 
 
-def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    """x @ w with fp32 accumulation. w layout is (in, out)."""
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+def dense(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
+    """x @ w with fp32 accumulation. w layout is (in, out); ``w`` may be a
+    quantized int8 weight (ops.quant.QuantWeight) — the dequant convert is
+    fused into the matmul operand read by XLA."""
+    from .quant import QuantWeight
+
+    if isinstance(w, QuantWeight):
+        y = jnp.dot(x, w.q.astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * w.scale
+    else:
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b
     return y.astype(x.dtype)
