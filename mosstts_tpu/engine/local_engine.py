@@ -45,6 +45,16 @@ class LocalEngine:
         params = init_local_params(jax.random.PRNGKey(seed), config, dtype=dtype)
         return cls(params, config, dtype=dtype, **kw)
 
+    def quantize(self, mode: str = "int8"):
+        """Weight-only int8 serving quantization (see ops.quant)."""
+        if mode != "int8":
+            raise ValueError(f"unknown quantization mode: {mode}")
+        from ..ops.quant import quantize_tree
+
+        self.params = quantize_tree(self.params)
+        self._jit.clear()
+        return self
+
     def _prefill_fn(self, max_new: int, cache_len: int, n_vq_infer: int):
         key = ("prefill", max_new, cache_len, n_vq_infer)
         if key not in self._jit:

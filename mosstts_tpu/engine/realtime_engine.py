@@ -66,6 +66,16 @@ class RealtimeEngine:
         params = init_realtime_params(jax.random.PRNGKey(seed), config, dtype=dtype)
         return cls(params, config, dtype=dtype, **kw)
 
+    def quantize(self, mode: str = "int8"):
+        """Weight-only int8 serving quantization (see ops.quant)."""
+        if mode != "int8":
+            raise ValueError(f"unknown quantization mode: {mode}")
+        from ..ops.quant import quantize_tree
+
+        self.params = quantize_tree(self.params)
+        self._jit.clear()
+        return self
+
     # ------------------------------------------------------------------
     @property
     def is_finished(self) -> bool:

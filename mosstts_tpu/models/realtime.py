@@ -145,10 +145,20 @@ def depth_generate_frame(
             kv_valid=kv_valid & (jnp.arange(R)[None] <= i),
             cache=cache, cache_offset=i,
         )
-        logits = jnp.einsum(
-            "bd,dv->bv", h[:, 0], jnp.take(params["local_heads"], i, axis=0),
-            preferred_element_type=jnp.float32,
-        )
+        heads = params["local_heads"]
+        from ..ops.quant import QuantWeight
+
+        if isinstance(heads, QuantWeight):
+            logits = jnp.einsum(
+                "bd,dv->bv", h[:, 0],
+                jnp.take(heads.q, i, axis=0).astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            ) * jnp.take(heads.scale, i, axis=0)
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv", h[:, 0], jnp.take(heads, i, axis=0),
+                preferred_element_type=jnp.float32,
+            )
         seen_i = jax.lax.dynamic_index_in_dim(seen, i, axis=1, keepdims=False)
         rp = jnp.where(sampling.use_penalty, sampling.repetition_penalty, 1.0)
         logits = apply_repetition_penalty_seen(logits, seen_i, rp)
