@@ -58,13 +58,14 @@ def main():
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=8)
-    ap.add_argument("--int8", action="store_true", help="weight-only int8 serving quantization")
+    ap.add_argument("--bf16", action="store_true", help="disable int8 weight-only quantization (default on: production serving config, greedy-argmax stable)")
     args = ap.parse_args()
 
     from mosstts_tpu.models.delay import make_sampling
 
     engine, ids, mask = build(args.tiny, args.batch, args.prompt)
-    if args.int8:
+    use_int8 = not args.bf16 and not args.tiny
+    if use_int8:
         engine.quantize("int8")
     sampling = make_sampling(
         text_temperature=1.7, text_top_p=0.8,
@@ -116,7 +117,7 @@ def main():
             "frames_per_sec": round(frames_per_sec, 1),
             "device": str(jax.devices()[0]),
             "tiny": args.tiny,
-            "int8": args.int8,
+            "int8": use_int8,
         },
     }
     print(json.dumps(result))
