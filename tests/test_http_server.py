@@ -1,0 +1,77 @@
+"""HTTP serving surface: health, streaming PCM, metrics, error paths.
+Runs the server in-process on a random port with demo (tiny) backends."""
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+
+    from mosstts_tpu.serve import http_server as hs
+
+    class Args:
+        model_path = None
+        codec_path = None
+
+    hs._STATE["args"] = Args()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), hs.Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _post(url, body, timeout=600):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        assert json.loads(r.read())["ok"] is True
+
+
+def test_stream_pcm_and_metrics(server):
+    with _post(server + "/stream", {
+        "text": "Hello streaming world, this is a test sentence.",
+        "temperature": 0, "chunk_frames": 4,
+    }) as r:
+        assert r.headers["X-Sample-Rate"] == "24000"
+        pcm = r.read()
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+    wav = np.frombuffer(pcm, "<i2")
+    assert np.isfinite(wav.astype(np.float32)).all()
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m.get("audio_s", 0) > 0
+    assert m.get("ttfa_s") is not None
+
+
+def test_tts_error_path(server):
+    # demo random weights never emit audio_start in Direct mode -> clean 400
+    try:
+        _post(server + "/tts", {"text": "hi", "max_new_tokens": 6})
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        body = json.loads(e.read())
+        assert e.code == 400 and "error" in body
+    assert raised
+
+
+def test_unknown_route(server):
+    try:
+        _post(server + "/nope", {})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
