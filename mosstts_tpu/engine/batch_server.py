@@ -1,0 +1,255 @@
+"""Continuous-batching server for the Delay model family.
+
+Production multi-stream serving beyond the reference's capabilities (the
+reference serves one gradio request at a time): a fixed pool of batch slots
+decodes in lock-step, and whenever a slot finishes its utterance a queued
+request is admitted into that slot mid-flight — prefilled at batch 1 and
+spliced into the running batch — so the chip never drains.
+
+Built on the per-row-cursor DelayGenState: each slot has its own cache
+cursor (`pos`), step counter, delay-pattern counters, and repetition-penalty
+bitmask, all advanced by the same jitted decode step.
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DelayConfig
+from ..models.delay import (
+    DelayGenState,
+    DelaySampling,
+    SENTINEL,
+    delay_decode_step,
+    delay_prefill,
+    make_sampling,
+)
+from ..nn.qwen3 import init_kv_cache
+from .delay_engine import attend_bucket
+
+
+@dataclass
+class _Request:
+    request_id: int
+    input_ids: np.ndarray  # (T, C)
+    max_new_tokens: int
+    start_length: int
+
+
+@dataclass
+class CompletedRequest:
+    request_id: int
+    start_length: int
+    tokens: np.ndarray  # (start .. prompt+generated, C) reference output shape
+    steps: int
+
+
+def _insert_row(big: DelayGenState, small: DelayGenState, row: int) -> DelayGenState:
+    """Splice a batch-1 prefilled state into slot ``row`` of the running
+    batch (all per-row fields + the slot's cache lane)."""
+    r = row
+    return DelayGenState(
+        cache=type(big.cache)(
+            big.cache.k.at[:, r].set(small.cache.k[:, 0]),
+            big.cache.v.at[:, r].set(small.cache.v[:, 0]),
+        ),
+        kv_valid=big.kv_valid.at[r].set(small.kv_valid[0]),
+        cur_ids=big.cur_ids.at[r].set(small.cur_ids[0]),
+        pos=big.pos.at[r].set(small.pos[0]),
+        step=big.step.at[r].set(small.step[0]),
+        rng=big.rng,
+        is_stopping=big.is_stopping.at[r].set(small.is_stopping[0]),
+        is_audio=big.is_audio.at[r].set(small.is_audio[0]),
+        audio_lengths=big.audio_lengths.at[r].set(small.audio_lengths[0]),
+        delayed=big.delayed.at[r].set(small.delayed[0]),
+        seen=big.seen.at[r].set(small.seen[0]),
+        out=big.out.at[r].set(
+            jnp.zeros_like(big.out[r]).at[: small.out.shape[1]].set(small.out[0])
+        ),
+        out_valid=big.out_valid.at[r].set(
+            jnp.zeros_like(big.out_valid[r]).at[: small.out_valid.shape[1]].set(small.out_valid[0])
+        ),
+    )
+
+
+class DelayBatchServer:
+    def __init__(
+        self,
+        params,
+        config: DelayConfig,
+        *,
+        slots: int = 8,
+        cache_len: int = 2048,
+        out_capacity: int = 1024,
+        prompt_bucket: int = 64,
+        dtype=jnp.bfloat16,
+        sampling: Optional[DelaySampling] = None,
+        top_k_text: int = 50,
+        top_k_audio: int = 25,
+    ):
+        self.params = params
+        self.config = config
+        self.slots = slots
+        self.cache_len = cache_len
+        self.out_capacity = out_capacity
+        self.prompt_bucket = prompt_bucket
+        self.dtype = dtype
+        self.sampling = sampling or make_sampling()
+        self.top_k_text = top_k_text
+        self.top_k_audio = top_k_audio
+
+        self._jit: Dict[Any, Any] = {}
+        self._ids = itertools.count()
+        self._queue: List[_Request] = []
+        self._active: Dict[int, _Request] = {}  # slot -> request
+        self.state = self._empty_state()
+        self.total_steps = 0
+
+    # ------------------------------------------------------------------
+    def _empty_state(self) -> DelayGenState:
+        B, C = self.slots, self.config.channels
+        Va = self.config.audio_emb_vocab
+        return DelayGenState(
+            cache=init_kv_cache(self.config.language_config, B, self.cache_len, self.dtype),
+            kv_valid=jnp.zeros((B, self.cache_len), jnp.bool_),
+            cur_ids=jnp.zeros((B, 1, C), jnp.int32),
+            pos=jnp.zeros((B,), jnp.int32),
+            step=jnp.full((B,), self.out_capacity, jnp.int32),  # idle: out writes drop
+            rng=jax.random.PRNGKey(0),
+            is_stopping=jnp.ones((B,), jnp.bool_),  # idle slots are "stopped"
+            is_audio=jnp.zeros((B,), jnp.bool_),
+            audio_lengths=jnp.zeros((B,), jnp.int32),
+            delayed=jnp.full((B,), SENTINEL, jnp.int32),
+            seen=jnp.zeros((B, self.config.n_vq, Va), jnp.bool_),
+            out=jnp.zeros((B, self.out_capacity, C), jnp.int32),
+            out_valid=jnp.zeros((B, self.out_capacity), jnp.bool_),
+        )
+
+    def _prefill_fn(self, T: int):
+        key = ("prefill", T)
+        if key not in self._jit:
+            cfg, s, tkt, tka, dt = (self.config, self.sampling, self.top_k_text,
+                                    self.top_k_audio, self.dtype)
+            cl, oc = self.cache_len, self.out_capacity
+            self._jit[key] = jax.jit(
+                lambda p, ids, mask, rng: delay_prefill(
+                    p, cfg, ids, mask, max_new_tokens=oc, cache_len=cl, rng=rng,
+                    sampling=s, top_k_text=tkt, top_k_audio=tka, dtype=dt,
+                )
+            )
+        return self._jit[key]
+
+    def _insert_fn(self, row: int):
+        key = ("insert", row)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda big, small: _insert_row(big, small, row),
+                donate_argnums=(0,),
+            )
+        return self._jit[key]
+
+    def _step_fn(self, attend: int):
+        key = ("step", attend)
+        if key not in self._jit:
+            cfg, s, tkt, tka = (self.config, self.sampling, self.top_k_text,
+                                self.top_k_audio)
+            self._jit[key] = jax.jit(
+                lambda p, st: delay_decode_step(
+                    p, cfg, st, s, top_k_text=tkt, top_k_audio=tka,
+                    attend_len=attend,
+                ),
+                donate_argnums=(1,),
+            )
+        return self._jit[key]
+
+    # ------------------------------------------------------------------
+    def submit(self, input_ids: np.ndarray, *, max_new_tokens: int = 256) -> int:
+        """Queue a request; (T, C) grid from the processor. Returns id."""
+        input_ids = np.asarray(input_ids, np.int64)
+        if input_ids.ndim != 2 or input_ids.shape[1] != self.config.channels:
+            raise ValueError(f"expected (T, {self.config.channels}) grid")
+        cfg = self.config
+        matches = np.nonzero(input_ids[:, 0] == cfg.im_start_token_id)[0]
+        start_idx = int(matches[-1]) + 3 if len(matches) else 0
+        rid = next(self._ids)
+        self._queue.append(_Request(
+            request_id=rid, input_ids=input_ids,
+            max_new_tokens=min(max_new_tokens, self.out_capacity),
+            start_length=input_ids.shape[0] - start_idx,
+        ))
+        return rid
+
+    def _admit(self, slot: int, req: _Request):
+        T = req.input_ids.shape[0]
+        Tb = ((T + self.prompt_bucket - 1) // self.prompt_bucket) * self.prompt_bucket
+        ids = np.full((1, Tb, self.config.channels), self.config.audio_pad_code, np.int64)
+        ids[..., 0] = self.config.pad_token_id
+        ids[0, Tb - T:] = req.input_ids
+        mask = np.zeros((1, Tb), bool)
+        mask[0, Tb - T:] = True
+        rng = jax.random.PRNGKey(hash(("req", req.request_id)) & 0x7FFFFFFF)
+        small = self._prefill_fn(Tb)(self.params, jnp.asarray(ids), jnp.asarray(mask), rng)
+        self.state = self._insert_fn(slot)(self.state, small)
+        self._active[slot] = req
+        req._bucket_T = Tb  # type: ignore[attr-defined]
+
+    def _fill_free_slots(self):
+        if not self._queue:
+            return
+        busy = set(self._active)
+        for slot in range(self.slots):
+            if not self._queue:
+                break
+            if slot not in busy:
+                self._admit(slot, self._queue.pop(0))
+
+    def step(self) -> List[CompletedRequest]:
+        """Admit queued requests into free slots, run one decode step for the
+        whole batch, and collect completions."""
+        self._fill_free_slots()
+        if not self._active:
+            return []
+        # attend bucket covers the furthest ACTIVE cursor (idle slots keep
+        # advancing but their writes/reads are masked + dropped)
+        pos = np.asarray(jax.device_get(self.state.pos))
+        active = sorted(self._active)
+        max_pos = int(pos[active].max())
+        attend = attend_bucket(max_pos + 2, 256, self.cache_len)
+        self.state = self._step_fn(attend)(self.params, self.state)
+        self.total_steps += 1
+
+        stopped = np.asarray(jax.device_get(self.state.is_stopping))
+        steps = np.asarray(jax.device_get(self.state.step))
+        done: List[CompletedRequest] = []
+        for slot, req in list(self._active.items()):
+            if stopped[slot] or steps[slot] >= req.max_new_tokens:
+                n = int(min(steps[slot], req.max_new_tokens))
+                gen = np.asarray(jax.device_get(self.state.out[slot, :n]))
+                full = np.concatenate([req.input_ids, gen.astype(np.int64)], axis=0)
+                start_idx = req.input_ids.shape[0] - req.start_length
+                done.append(CompletedRequest(
+                    request_id=req.request_id,
+                    start_length=req.start_length,
+                    tokens=full[start_idx:],
+                    steps=n,
+                ))
+                del self._active[slot]
+        return done
+
+    def run(self, max_steps: int = 100000) -> List[CompletedRequest]:
+        """Drain queue + active slots; returns completions in finish order."""
+        out: List[CompletedRequest] = []
+        for _ in range(max_steps):
+            out.extend(self.step())
+            if not self._active and not self._queue:
+                break
+        return out
+
+    @property
+    def utilization(self) -> float:
+        return len(self._active) / self.slots

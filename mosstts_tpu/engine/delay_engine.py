@@ -179,7 +179,7 @@ class DelayEngine:
                 attend = attend_bucket(T + steps + 2, bucket, cache_len)
                 seg_end = min(attend - T - 1, max_new_tokens)
                 state = self._get_device_gen(seg_end, attend)(self.params, state, sampling)
-                steps = int(jax.device_get(state.step))
+                steps = int(jax.device_get(state.step).max())
                 if bool(jax.device_get(state.is_stopping).all()):
                     break
         else:

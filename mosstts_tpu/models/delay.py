@@ -183,8 +183,8 @@ class DelayGenState(NamedTuple):
     cache: KVCache
     kv_valid: jax.Array  # (B, S)
     cur_ids: jax.Array  # (B, 1, C) token to feed next forward
-    pos: jax.Array  # scalar: cache slot where cur_ids will be written
-    step: jax.Array  # scalar: decode step counter
+    pos: jax.Array  # (B,) per-row cache slot where cur_ids will be written
+    step: jax.Array  # (B,) per-row decode step counter
     rng: jax.Array
     is_stopping: jax.Array  # (B,)
     is_audio: jax.Array  # (B,)
@@ -243,8 +243,8 @@ def delay_prefill(
         cache=cache,
         kv_valid=kv_valid,
         cur_ids=jnp.zeros((B, 1, C), input_ids.dtype),
-        pos=jnp.int32(T),
-        step=jnp.int32(0),
+        pos=jnp.full((B,), T, jnp.int32),
+        step=jnp.zeros((B,), jnp.int32),
         rng=rng,
         is_stopping=jnp.zeros((B,), jnp.bool_),
         is_audio=audio_start_mask,
@@ -297,8 +297,8 @@ def _delay_sample_and_update(
     )
     mask_non_audio = excl0[None, :] & ~is_audio[:, None]
     mask_audio = (~allow1)[None, :] & is_audio[:, None]
-    first_step = state.step == 0
-    early = state.step <= n_vq
+    first_step = (state.step == 0)[:, None]  # (B, 1): per-row step counters
+    early = (state.step <= n_vq)[:, None]
     mask_first = first_step & (vocab_ids == cfg.audio_assistant_delay_slot_token_id)[None, :]
     mask_early = early & (vocab_ids == cfg.im_end_token_id)[None, :]
     text_logits = jnp.where(
@@ -351,12 +351,12 @@ def _delay_sample_and_update(
     seen = seen_mask_update(state.seen, next_audio, active=sampling_audio)
 
     frame = jnp.concatenate([next_text[:, None], next_audio], axis=-1)  # (B, C)
-    out = jax.lax.dynamic_update_slice(
-        state.out, frame[:, None, :], (0, state.step, 0)
-    )
-    out_valid = state.out_valid.at[:, state.step].set(True)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    # per-row scatter; steps beyond the out buffer drop (stopped rows idling)
+    out = state.out.at[rows, state.step].set(frame, mode="drop")
+    out_valid = state.out_valid.at[rows, state.step].set(True, mode="drop")
     # the token we just emitted is attendable iff its row hasn't stopped
-    kv_valid = state.kv_valid.at[:, state.pos].set(~is_stopping)
+    kv_valid = state.kv_valid.at[rows, state.pos].set(~is_stopping, mode="drop")
 
     return state._replace(
         kv_valid=kv_valid,
@@ -383,7 +383,7 @@ def delay_decode_step(
     ``attend_len`` (static bucket) caps how much of the cache the attention
     streams from HBM."""
     B = state.cur_ids.shape[0]
-    positions = jnp.broadcast_to(state.pos[None, None], (B, 1)).astype(jnp.int32)
+    positions = state.pos[:, None].astype(jnp.int32)
     text_logits, audio_logits, cache = delay_forward(
         params, cfg, state.cur_ids,
         positions=positions, kv_valid=state.kv_valid,
@@ -466,7 +466,7 @@ def delay_generate_on_device(
     ``attend_len`` buckets."""
 
     def cond(st: DelayGenState):
-        return (st.step < max_new_tokens) & ~jnp.all(st.is_stopping)
+        return (jnp.min(st.step) < max_new_tokens) & ~jnp.all(st.is_stopping)
 
     def body(st: DelayGenState):
         return delay_decode_step(

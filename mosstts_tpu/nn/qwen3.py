@@ -98,7 +98,7 @@ def qwen3_forward(
     positions: jax.Array,  # (B, T) absolute positions (== cache slots)
     kv_valid: jax.Array,  # (B, S) validity of cache slots (S=T when no cache)
     cache: Optional[KVCache] = None,
-    cache_offset: jax.Array | int = 0,
+    cache_offset: jax.Array | int = 0,  # scalar, or (B,) per-row cursors
     kv_positions: Optional[jax.Array] = None,
     attn_window: Optional[int] = None,
     use_rope: bool = True,
@@ -122,11 +122,13 @@ def qwen3_forward(
 
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # (B, T, hd)
 
-    # Flash kernel requires the linear slot==position layout (default) and
-    # contiguous q positions; ring-cache callers pass kv_positions explicitly
-    # and keep the einsum path. When there is no cache, slots are exactly
+    offset_per_row = jnp.ndim(cache_offset) == 1
+    # Flash kernel requires the linear slot==position layout (default),
+    # contiguous batch-uniform q positions; ring-cache callers pass
+    # kv_positions explicitly and per-row-cursor callers pass (B,) offsets —
+    # both keep the einsum path. When there is no cache, slots are exactly
     # q positions only if the q block starts at position 0.
-    use_flash = kv_positions is None and _flash_ok(T, hd, H, KV)
+    use_flash = kv_positions is None and not offset_per_row and _flash_ok(T, hd, H, KV)
 
     if kv_positions is None:
         if cache is not None:
@@ -184,16 +186,24 @@ def qwen3_forward(
         S = cache.max_len
         a_len = attend_len if (attend_len is not None and attend_len < S) else S
 
+        if offset_per_row:
+            b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, T))
+            s_idx = cache_offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
         def layer(carry, xs):
             hidden, kf, vf = carry
             lp, li = xs
             q, k, v = qkv(lp, hidden)
-            kf = jax.lax.dynamic_update_slice(
-                kf, k.astype(kf.dtype)[None], (li, 0, cache_offset, 0, 0)
-            )
-            vf = jax.lax.dynamic_update_slice(
-                vf, v.astype(vf.dtype)[None], (li, 0, cache_offset, 0, 0)
-            )
+            if offset_per_row:
+                kf = kf.at[li, b_idx, s_idx].set(k.astype(kf.dtype), mode="drop")
+                vf = vf.at[li, b_idx, s_idx].set(v.astype(vf.dtype), mode="drop")
+            else:
+                kf = jax.lax.dynamic_update_slice(
+                    kf, k.astype(kf.dtype)[None], (li, 0, cache_offset, 0, 0)
+                )
+                vf = jax.lax.dynamic_update_slice(
+                    vf, v.astype(vf.dtype)[None], (li, 0, cache_offset, 0, 0)
+                )
             k_all = jax.lax.dynamic_slice(
                 kf, (li, 0, 0, 0, 0), (1, B, a_len, KV, hd))[0]
             v_all = jax.lax.dynamic_slice(

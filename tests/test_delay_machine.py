@@ -144,8 +144,8 @@ def test_state_machine_matches_oracle():
         cache=init_kv_cache(cfg.language_config, B, 8, dtype=jnp.float32),
         kv_valid=jnp.zeros((B, 8), jnp.bool_),
         cur_ids=jnp.zeros((B, 1, cfg.channels), jnp.int32),
-        pos=jnp.int32(0),
-        step=jnp.int32(0),
+        pos=jnp.zeros((B,), jnp.int32),
+        step=jnp.zeros((B,), jnp.int32),
         rng=jax.random.PRNGKey(0),
         is_stopping=jnp.zeros((B,), jnp.bool_),
         is_audio=jnp.zeros((B,), jnp.bool_),
