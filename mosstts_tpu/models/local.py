@@ -334,7 +334,9 @@ def local_frame_step(
     hidden, cache = qwen3_forward(
         params["backbone"], lc, embeds,
         positions=positions, kv_valid=state.kv_valid,
-        cache=state.cache, cache_offset=state.pos, attend_len=attend_len,
+        cache=state.cache,
+        cache_offset=jnp.full((B,), state.pos, jnp.int32),  # scatter path
+        attend_len=attend_len,
     )
     g = hidden[:, -1]
 

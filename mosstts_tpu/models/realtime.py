@@ -260,10 +260,13 @@ def realtime_prefill_step(
     positions = (offset + jnp.arange(T, dtype=jnp.int32))[None].repeat(B, axis=0)
     kv_valid = jax.lax.dynamic_update_slice(state.kv_valid, row_valid, (0, offset))
     embeds = realtime_embed(params, cfg, input_ids)
+    # single-token steps take the per-row scatter write path (measurably
+    # faster than dynamic_update_slice inside the layer scan)
+    cache_offset = jnp.full((B,), offset, jnp.int32) if T == 1 else offset
     hidden, cache = qwen3_forward(
         params["backbone"], lc, embeds,
         positions=positions, kv_valid=kv_valid, cache=state.cache,
-        cache_offset=offset, attend_len=attend_len,
+        cache_offset=cache_offset, attend_len=attend_len,
     )
     rng, rng_f = jax.random.split(state.rng)
     frame = depth_generate_frame(
