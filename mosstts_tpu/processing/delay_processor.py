@@ -396,6 +396,10 @@ class DelayProcessor:
 
     # ----------------------------- codec glue ------------------------------
     loudness_normalize = staticmethod(audio_io.loudness_normalize)
+    # reference API compatibility (staticmethods on the processor,
+    # processing_moss_tts.py:516-537)
+    apply_delay_pattern = staticmethod(apply_delay_pattern)
+    apply_de_delay_pattern = staticmethod(apply_de_delay_pattern)
 
     def encode_audios_from_wav(
         self, wav_list, sampling_rate: int, n_vq: Optional[int] = None
