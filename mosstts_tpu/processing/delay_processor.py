@@ -362,6 +362,8 @@ class DelayProcessor:
 
     def _parse_audio(self, start_length: int, audio_codes: np.ndarray) -> List[np.ndarray]:
         c = self.config
+        if audio_codes.shape[0] < audio_codes.shape[1]:
+            return []  # shorter than one delay diagonal: nothing decodable
         audio_codes = apply_de_delay_pattern(audio_codes)
         non_pad = ~(audio_codes == c.audio_pad_code).all(axis=1)
         if not non_pad.any():

@@ -57,7 +57,9 @@ def load_delay_backend(
         engine = DelayEngine.random_init(seed=0, config=cfg, dtype=jnp.float32)
         tokenizer = load_tokenizer(None)
     proc = DelayProcessor(tokenizer, audio_tokenizer=codec, config=cfg)
-    return DelayBackend(engine=engine, processor=proc, sample_rate=cfg.sampling_rate)
+    demo = not (model_path and Path(model_path).exists())
+    return DelayBackend(engine=engine, processor=proc,
+                        sample_rate=cfg.sampling_rate, demo=demo)
 
 
 @functools.lru_cache(maxsize=2)

@@ -34,6 +34,9 @@ class DelayBackend:
     engine: DelayEngine
     processor: DelayProcessor
     sample_rate: int = 24000
+    # demo (random-init) backends kickstart generation-mode prompts with an
+    # <audio_start> row so every flow produces audio without trained weights
+    demo: bool = False
 
 
 def _generate_and_decode(
@@ -43,6 +46,16 @@ def _generate_and_decode(
     text_top_p: float = 1.0, text_top_k: int = 50, seed: int = 0,
 ) -> Tuple[np.ndarray, str]:
     batch = backend.processor(conversations, mode=mode)
+    if backend.demo and mode == "generation":
+        c = backend.engine.config
+        ids, mask = batch["input_ids"], batch["attention_mask"]
+        B, T, C = ids.shape
+        row = np.full((B, 1, C), c.audio_pad_code, dtype=ids.dtype)
+        row[..., 0] = c.audio_start_token_id
+        batch = {
+            "input_ids": np.concatenate([ids, row], axis=1),
+            "attention_mask": np.concatenate([mask, np.ones((B, 1), bool)], axis=1),
+        }
     out = backend.engine.generate(
         batch["input_ids"], batch["attention_mask"],
         max_new_tokens=max_new_tokens,
