@@ -196,7 +196,6 @@ class DelayBatchServer:
         small = self._prefill_fn(Tb)(self.params, jnp.asarray(ids), jnp.asarray(mask), rng)
         self.state = self._insert_fn(slot)(self.state, small)
         self._active[slot] = req
-        req._bucket_T = Tb  # type: ignore[attr-defined]
 
     def _fill_free_slots(self):
         if not self._queue:
