@@ -89,7 +89,12 @@ def codec_forward_train(params, cfg: CodecConfig, wav: jax.Array,
         attn_window=cfg.causal_context,
     )
     h = rms_norm(h, params["dec_out_norm"], cfg.rms_norm_eps)
-    recon = dense(h, params["dec_out"]).reshape(B, T * hop)
+    frames_out = dense(h, params["dec_out"])  # (B, T, hop+ov)
+    from .model import overlap_add
+
+    recon, _ = overlap_add(
+        frames_out, jnp.zeros((B, cfg.overlap), frames_out.dtype), hop, cfg.overlap
+    )
     return recon, {"commitment": commitment, "codebook": codebook_loss}
 
 

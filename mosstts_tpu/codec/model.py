@@ -91,7 +91,8 @@ def init_codec_params(rng: jax.Array, cfg: CodecConfig, dtype=jnp.float32) -> Di
         "dec_in": nrm(ks[4], (dlat, D)),
         "decoder": init_qwen3_params(ks[5], _txf_cfg(cfg, cfg.num_decoder_layers), dtype, with_embed=False),
         "dec_out_norm": jnp.ones((D,), dtype),
-        "dec_out": nrm(ks[6], (D, hop)),
+        # overlap-add head: each frame predicts hop + overlap samples
+        "dec_out": nrm(ks[6], (D, hop + cfg.overlap)),
     }
 
 
@@ -107,15 +108,39 @@ def _encode_chunk(params, cfg: CodecConfig, state: StreamState, frames, valid_le
     return codes, state
 
 
-def _decode_chunk(params, cfg: CodecConfig, state: StreamState, codes, valid_len):
-    """codes: (NQ, B, c) -> wav chunk (B, c*hop), new state."""
+def overlap_add(frames: "jax.Array", prev_tail: "jax.Array", hop: int, ov: int):
+    """frames: (B, c, hop+ov); prev_tail: (B, ov) carried from the previous
+    frame. Linear crossfade of each frame's head with the preceding frame's
+    tail removes frame-boundary discontinuities (vocoder-style synthesis).
+    Returns (wav (B, c*hop), new_tail (B, ov))."""
+    B, c, _ = frames.shape
+    heads = frames[:, :, :hop]
+    tails = frames[:, :, hop:]
+    prev = jnp.concatenate([prev_tail[:, None, :], tails[:, :-1, :]], axis=1)
+    w = (jnp.arange(ov, dtype=jnp.float32) + 1.0) / (ov + 1.0)
+    w = w.astype(frames.dtype)
+    blended = heads[:, :, :ov] * w + prev * (1.0 - w)
+    heads = jnp.concatenate([blended, heads[:, :, ov:]], axis=-1)
+    return heads.reshape(B, c * hop), tails[:, -1, :]
+
+
+def _decode_chunk(params, cfg: CodecConfig, state, codes, valid_len):
+    """codes: (NQ, B, c) -> wav chunk (B, c*hop), new state.
+    ``state`` = (transformer StreamState, overlap tail (B, ov))."""
+    txf_state, prev_tail = state
     lat = rvq_decode(params["rvq"], codes)
     x = dense(lat.astype(params["dec_in"].dtype), params["dec_in"])
-    h, state = run_chunk(params["decoder"], _txf_cfg(cfg, cfg.num_decoder_layers), state, x, valid_len)
+    h, txf_state = run_chunk(params["decoder"], _txf_cfg(cfg, cfg.num_decoder_layers), txf_state, x, valid_len)
     h = rms_norm(h, params["dec_out_norm"], cfg.rms_norm_eps)
-    frames = dense(h, params["dec_out"])  # (B, c, hop)
-    B, c, hop = frames.shape
-    return frames.reshape(B, c * hop), state
+    frames = dense(h, params["dec_out"])  # (B, c, hop+ov)
+    wav, last_tail = overlap_add(frames, prev_tail, cfg.hop, cfg.overlap)
+    # carry the tail of the last VALID frame (padded chunk frames are garbage)
+    B, c, _ = frames.shape
+    tails = frames[:, :, cfg.hop :]
+    new_tail = jax.lax.dynamic_index_in_dim(
+        tails, jnp.clip(valid_len - 1, 0, c - 1), axis=1, keepdims=False
+    )
+    return wav, (txf_state, new_tail)
 
 
 class CodecStreamSession:
@@ -126,7 +151,7 @@ class CodecStreamSession:
     def __init__(self, codec: "MossAudioTokenizer", batch_size: int):
         self.codec = codec
         self.batch_size = batch_size
-        self.state: Optional[StreamState] = None
+        self.state = None  # (StreamState, overlap tail)
 
     def reset(self):
         self.state = None
@@ -271,17 +296,21 @@ class MossAudioTokenizer:
         return {"audio_codes": out.audio_codes, "audio_codes_lengths": out.audio_codes_lengths}
 
     # ------------------------------- decode --------------------------------
+    def _init_decode_state(self, B: int):
+        cfg = self.config
+        dt = self.params["dec_in"].dtype
+        txf = init_stream_state(
+            _txf_cfg(cfg, cfg.num_decoder_layers), B, cfg.causal_context, dtype=dt
+        )
+        return (txf, jnp.zeros((B, cfg.overlap), dt))
+
     def _decode_array(self, codes: np.ndarray, chunk_frames: int,
-                      state: Optional[StreamState] = None,
-                      keep_state: bool = False):
+                      state=None, keep_state: bool = False):
         """codes: (NQ, B, T) -> wav (B, T*hop) [, final state]."""
         cfg = self.config
         NQ, B, T = codes.shape
         if state is None:
-            state = init_stream_state(
-                _txf_cfg(cfg, cfg.num_decoder_layers), B, cfg.causal_context,
-                dtype=self.params["dec_in"].dtype,
-            )
+            state = self._init_decode_state(B)
         fn = self._decode_fn(NQ)
         outs = []
         for start in range(0, T, chunk_frames):
@@ -313,10 +342,7 @@ class MossAudioTokenizer:
             # inside streaming(): persist decoder state across calls
             sess = self._stream
             if sess.state is None:
-                sess.state = init_stream_state(
-                    _txf_cfg(self.config, self.config.num_decoder_layers),
-                    B, self.config.causal_context, dtype=self.params["dec_in"].dtype,
-                )
+                sess.state = self._init_decode_state(B)
             wav, sess.state = self._decode_array(codes, cf, state=sess.state, keep_state=True)
         else:
             wav = self._decode_array(codes, cf)

@@ -256,6 +256,9 @@ class CodecConfig:
     # IO projections stay MXU-friendly.
     sub_patches: int = 4  # 1920 = 4 x 480 sub-patches per frame
     causal_context: int = 128  # frames of causal attention context
+    # decoder overlap-add synthesis: each frame predicts hop + hop//overlap_div
+    # samples; adjacent frames crossfade over the extra tail
+    overlap_div: int = 4
 
     @property
     def hop(self) -> int:
@@ -265,6 +268,10 @@ class CodecConfig:
     @property
     def sub_hop(self) -> int:
         return self.hop // self.sub_patches
+
+    @property
+    def overlap(self) -> int:
+        return self.hop // self.overlap_div
 
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any]) -> "CodecConfig":
