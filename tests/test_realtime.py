@@ -189,3 +189,29 @@ def test_batch_generate_nonstreaming(engine, proc):
         # trimmed at EOS if any
         if f.shape[0]:
             assert (f[:, 0] != engine.config.audio_eos_token).all()
+
+
+def test_cache_growth_toward_max_context(proc):
+    """A conversation exceeding the initial cache grows toward max_context."""
+    eng = RealtimeEngine.random_init(
+        seed=0, config=CFG, dtype=jnp.float32, max_length=64,
+        cache_len=128, prefill_bucket=1,
+    )
+    eng.max_context = 512
+    rng = np.random.default_rng(0)
+    user_audio = rng.integers(0, 1024, (30, RVQ))
+    turn = np.concatenate(
+        [proc.make_ensemble(None), proc.make_user_prompt("grow the cache please", user_audio)],
+        axis=0,
+    )
+    eng.prefill([turn], [proc.tokenizer.encode("reply")[:4]],
+                do_sample=False, temperature=0.0)
+    start_len = eng.cache_len
+    for _ in range(80):
+        if eng.is_finished:
+            break
+        eng.step(None, do_sample=False, temperature=0.0)
+    used = int(np.asarray(eng.state.cur_len))
+    if used > 128:
+        assert eng.cache_len > start_len or start_len >= used
+    assert eng.cache_len <= eng.max_context
