@@ -12,6 +12,9 @@ import numpy as np
 from mosstts_tpu.serve.backend import load_delay_backend, load_realtime_backend
 from mosstts_tpu.utils.audio import write_wav
 
+out_dir = Path(__file__).parent.parent / "out"
+out_dir.mkdir(exist_ok=True)
+
 
 def delay_batch(args):
     backend = load_delay_backend(args.model_path, args.codec_path)
@@ -36,7 +39,7 @@ def delay_batch(args):
     for i, m in enumerate(msgs):
         if m and m.audio_codes_list:
             wav = np.concatenate([np.asarray(w).reshape(-1) for w in m.audio_codes_list])
-            write_wav(f"delay_batch_{i}.wav", wav, backend.sample_rate)
+            write_wav(str(out_dir / f"delay_batch_{i}.wav"), wav, backend.sample_rate)
             print(f"sample {i}: {wav.size / backend.sample_rate:.2f}s -> delay_batch_{i}.wav")
         else:
             print(f"sample {i}: no audio")
@@ -59,7 +62,7 @@ def realtime_batch(args):
     for i, f in enumerate(frames):
         wav = codec.decode(f.T, chunk_duration=8)["audio"][0] if f.size else None
         if wav is not None and np.asarray(wav).size:
-            write_wav(f"realtime_batch_{i}.wav", np.asarray(wav).reshape(-1),
+            write_wav(str(out_dir / f"realtime_batch_{i}.wav"), np.asarray(wav).reshape(-1),
                       codec.sampling_rate)
             print(f"sample {i}: {f.shape[0]} frames -> realtime_batch_{i}.wav")
         else:

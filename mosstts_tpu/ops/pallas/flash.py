@@ -26,11 +26,11 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     q_start_ref,  # SMEM (1,1) int32: absolute position of q row 0
-    q_ref,  # (bt, hd)
-    k_ref,  # (S, hd)
-    v_ref,  # (S, hd)
-    valid_ref,  # (1, S) int8
-    o_ref,  # (bt, hd)
+    q_ref,  # (1, 1, bt, hd) — 4D block per BlockSpec; leading (b, h) dims are 1
+    k_ref,  # (1, 1, S, hd)
+    v_ref,  # (1, 1, S, hd)
+    valid_ref,  # (1, 1, S) int8
+    o_ref,  # (1, 1, bt, hd)
     *,
     block_s: int,
     window: int | None,
