@@ -278,6 +278,34 @@ class CodecConfig:
         return cls(**_filter_kwargs(cls, dict(d)))
 
 
+def qwen3_1p7b(**over) -> Qwen3Config:
+    """Qwen3-1.7B-class backbone (the reference Local/Realtime scale)."""
+    base = dict(
+        vocab_size=151936, hidden_size=2048, intermediate_size=6144,
+        num_hidden_layers=28, num_attention_heads=16,
+        num_key_value_heads=8, head_dim=128,
+    )
+    base.update(over)
+    return Qwen3Config(**base)
+
+
+def qwen3_8b(**over) -> Qwen3Config:
+    """Qwen3-8B-class backbone — the reference Delay flagship scale
+    (README.md:91-101, docs/moss_tts_model_card.md: MossTTSDelay 8B)."""
+    base = dict(
+        vocab_size=151936, hidden_size=4096, intermediate_size=12288,
+        num_hidden_layers=36, num_attention_heads=32,
+        num_key_value_heads=8, head_dim=128,
+    )
+    base.update(over)
+    return Qwen3Config(**base)
+
+
+def delay_8b(**over) -> DelayConfig:
+    """Flagship MOSS-TTS Delay config (8B backbone, 32 RVQ channels)."""
+    return DelayConfig(language_config=qwen3_8b(), n_vq=32, **over)
+
+
 def tiny_qwen3(**over) -> Qwen3Config:
     """A small backbone config for tests and CPU smoke runs."""
     base = dict(

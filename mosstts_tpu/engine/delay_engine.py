@@ -53,6 +53,7 @@ class DelayEngine:
         cache_bucket: int = 256,
         top_k_text: int = 50,
         top_k_audio: int = 25,
+        hidden_out_layers: Optional[tuple] = None,
     ):
         self.params = params
         self.config = config
@@ -60,6 +61,9 @@ class DelayEngine:
         self.cache_bucket = cache_bucket
         self.top_k_text = top_k_text
         self.top_k_audio = top_k_audio
+        # per-head backbone source layers (checkpoint-level, static in jit;
+        # reference modeling_moss_tts.py:236,280-289)
+        self.hidden_out_layers = tuple(hidden_out_layers) if hidden_out_layers else None
         self._prefill_jit: Dict[Any, Any] = {}
         self._step_jit: Dict[Any, Any] = {}
         self._device_gen_jit: Dict[Any, Any] = {}
@@ -86,39 +90,46 @@ class DelayEngine:
 
     # ------------------------------------------------------------------
     def _get_prefill(self, max_new: int, cache_len: int):
-        key = (max_new, cache_len)
+        key = (max_new, cache_len, self.hidden_out_layers)
         if key not in self._prefill_jit:
             cfg, tkt, tka, dt = self.config, self.top_k_text, self.top_k_audio, self.dtype
+            hol = self.hidden_out_layers
             self._prefill_jit[key] = jax.jit(
                 lambda p, ids, mask, rng, s: delay_prefill(
                     p, cfg, ids, mask,
                     max_new_tokens=max_new, cache_len=cache_len, rng=rng,
                     sampling=s, top_k_text=tkt, top_k_audio=tka, dtype=dt,
+                    hidden_out_layers=hol,
                 )
             )
         return self._prefill_jit[key]
 
     def _get_step(self, attend_len=None):
-        key = ("step", attend_len, self.top_k_text, self.top_k_audio)
+        key = ("step", attend_len, self.top_k_text, self.top_k_audio,
+               self.hidden_out_layers)
         if key not in self._step_jit:
             cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
+            hol = self.hidden_out_layers
             self._step_jit[key] = jax.jit(
                 lambda p, st, s: delay_decode_step(
                     p, cfg, st, s, top_k_text=tkt, top_k_audio=tka,
-                    attend_len=attend_len,
+                    attend_len=attend_len, hidden_out_layers=hol,
                 ),
                 donate_argnums=(1,),
             )
         return self._step_jit[key]
 
     def _get_device_gen(self, max_new: int, attend_len=None):
-        key = (max_new, attend_len, self.top_k_text, self.top_k_audio)
+        key = (max_new, attend_len, self.top_k_text, self.top_k_audio,
+               self.hidden_out_layers)
         if key not in self._device_gen_jit:
             cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
+            hol = self.hidden_out_layers
             self._device_gen_jit[key] = jax.jit(
                 lambda p, st, s: delay_generate_on_device(
                     p, cfg, st, s, max_new_tokens=max_new,
                     top_k_text=tkt, top_k_audio=tka, attend_len=attend_len,
+                    hidden_out_layers=hol,
                 ),
                 donate_argnums=(1,),
             )

@@ -100,46 +100,62 @@ def delay_forward(
     cache_offset: jax.Array | int = 0,
     attend_len: Optional[int] = None,
     hidden_out_layers: Optional[list] = None,
+    logits_len: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[KVCache]]:
     """Returns (text_logits (B,T,V), audio_logits (B,T,n_vq,Va), cache).
     The last audio vocab index (== pad code) is masked to -inf, matching
     reference forward :292-300.
 
+    ``logits_len`` restricts the LM heads to the last ``logits_len``
+    positions (prefill only samples from the final position; materializing
+    (B, T, 152k) fp32 prompt logits would cost gigabytes at flagship scale).
+
     ``hidden_out_layers`` optionally sources each head from a different
     backbone layer (MusicGen-style, reference forward :278-289); entry 0 is
     the text head, entries 1..n_vq the audio heads; indices follow HF
-    hidden_states (0 = embeddings, -1 = last layer). Only supported on the
-    uncached (training/analysis) path."""
+    hidden_states (0 = embeddings, -1 = post-final-norm last layer).
+    Supported on both the cached (decode) and uncached paths — the backbone
+    scan emits per-layer hiddens as scan outputs."""
     embeds = delay_embed(params, cfg, ids)
     if hidden_out_layers is not None:
-        if cache is not None:
-            raise ValueError("hidden_out_layers requires the uncached path")
-        _, (_, all_hs) = qwen3_forward(
-            params["backbone"], cfg.language_config, embeds,
-            positions=positions, kv_valid=kv_valid,
-            output_hidden_states=True,
-        )
+        from ..ops.quant import QuantWeight
+
         if len(hidden_out_layers) != 1 + cfg.n_vq:
             raise ValueError("hidden_out_layers must have 1 + n_vq entries")
-        text_h = all_hs[hidden_out_layers[0]]
-        text_logits = dense(text_h, params["text_head"]).astype(jnp.float32)
-        audio_logits = jnp.stack(
-            [
-                jnp.einsum(
-                    "btd,dv->btv", all_hs[hidden_out_layers[i + 1]],
-                    params["audio_heads"][i], preferred_element_type=jnp.float32,
-                )
-                for i in range(cfg.n_vq)
-            ],
-            axis=2,
+        n_hs = cfg.language_config.num_hidden_layers + 1
+        idxs = [int(i) % n_hs for i in hidden_out_layers]
+        _, (cache, all_hs) = qwen3_forward(
+            params["backbone"], cfg.language_config, embeds,
+            positions=positions, kv_valid=kv_valid,
+            cache=cache, cache_offset=cache_offset, attend_len=attend_len,
+            output_hidden_states=True,
         )
+        if logits_len is not None:
+            all_hs = all_hs[:, :, -logits_len:]
+        text_logits = dense(all_hs[idxs[0]], params["text_head"]).astype(jnp.float32)
+        # gather the per-head source hiddens once, then one batched einsum
+        # over heads (the reference loops 33 nn.Linear's, :294-303)
+        audio_hs = all_hs[jnp.asarray(idxs[1:], jnp.int32)]  # (n_vq, B, T, D)
+        heads = params["audio_heads"]
+        if isinstance(heads, QuantWeight):
+            audio_logits = jnp.einsum(
+                "nbtd,ndv->btnv", audio_hs, heads.q.astype(audio_hs.dtype),
+                preferred_element_type=jnp.float32,
+            ) * heads.scale[None, None]
+        else:
+            audio_logits = jnp.einsum(
+                "nbtd,ndv->btnv", audio_hs, heads,
+                preferred_element_type=jnp.float32,
+            )
         audio_logits = audio_logits.at[..., -1].set(NEG_INF)
-        return text_logits, audio_logits, None
+        return text_logits, audio_logits, cache
     hidden, cache = qwen3_forward(
         params["backbone"], cfg.language_config, embeds,
         positions=positions, kv_valid=kv_valid, cache=cache, cache_offset=cache_offset,
         attend_len=attend_len,
     )
+    if logits_len is not None:
+        hidden = hidden[:, -logits_len:]
     text_logits = dense(hidden, params["text_head"]).astype(jnp.float32)
     audio_logits = _audio_head_logits(hidden, params["audio_heads"])
     audio_logits = audio_logits.at[..., -1].set(NEG_INF)
@@ -207,6 +223,7 @@ def delay_prefill(
     top_k_text: int = 50,
     top_k_audio: int = 25,
     dtype=jnp.bfloat16,
+    hidden_out_layers: Optional[tuple] = None,
 ) -> DelayGenState:
     B, T, C = input_ids.shape
     n_vq = cfg.n_vq
@@ -219,7 +236,8 @@ def delay_prefill(
 
     text_logits, audio_logits, cache = delay_forward(
         params, cfg, input_ids, positions=positions, kv_valid=kv_valid,
-        cache=cache, cache_offset=0,
+        cache=cache, cache_offset=0, logits_len=1,
+        hidden_out_layers=hidden_out_layers,
     )
 
     # continuation init (reference :431-436)
@@ -378,6 +396,7 @@ def delay_decode_step(
     params, cfg: DelayConfig, state: DelayGenState, sampling: DelaySampling,
     *, top_k_text: int = 50, top_k_audio: int = 25,
     attend_len: Optional[int] = None,
+    hidden_out_layers: Optional[tuple] = None,
 ) -> DelayGenState:
     """Forward the pending frame, then run the state machine once.
     ``attend_len`` (static bucket) caps how much of the cache the attention
@@ -389,6 +408,7 @@ def delay_decode_step(
         positions=positions, kv_valid=state.kv_valid,
         cache=state.cache, cache_offset=state.pos,
         attend_len=attend_len,
+        hidden_out_layers=hidden_out_layers,
     )
     state = state._replace(cache=cache, pos=state.pos + 1)
     return _delay_sample_and_update(
@@ -459,6 +479,7 @@ def delay_generate_on_device(
     params, cfg: DelayConfig, state: DelayGenState, sampling: DelaySampling,
     *, max_new_tokens: int, top_k_text: int = 50, top_k_audio: int = 25,
     attend_len: Optional[int] = None,
+    hidden_out_layers: Optional[tuple] = None,
 ) -> DelayGenState:
     """Decode segment as one ``lax.while_loop`` program — zero host
     round-trips (the TPU equivalent of the reference's per-step python loop
@@ -473,6 +494,7 @@ def delay_generate_on_device(
             params, cfg, st, sampling,
             top_k_text=top_k_text, top_k_audio=top_k_audio,
             attend_len=attend_len,
+            hidden_out_layers=hidden_out_layers,
         )
 
     return jax.lax.while_loop(cond, body, state)

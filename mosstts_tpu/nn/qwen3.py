@@ -209,14 +209,22 @@ def qwen3_forward(
             v_all = jax.lax.dynamic_slice(
                 vf, (li, 0, 0, 0, 0), (1, B, a_len, KV, hd))[0]
             hidden = attend(lp, hidden, q, k_all, v_all)
-            return (hidden, kf, vf), None
+            return (hidden, kf, vf), (hidden if output_hidden_states else None)
 
         L = cfg.num_hidden_layers
-        (hidden, new_k, new_v), _ = jax.lax.scan(
+        (hidden, new_k, new_v), per_layer = jax.lax.scan(
             layer, (inputs_embeds, cache.k, cache.v),
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
         new_cache = KVCache(new_k, new_v)
+        if output_hidden_states:
+            hidden = rms_norm(hidden, params["final_norm"], eps)
+            # HF hidden_states layout: (embeds, layer_1, ..., layer_{L-1},
+            # final_norm(layer_L)) — the LAST entry is post-final-norm
+            all_hs = jnp.concatenate(
+                [inputs_embeds[None], per_layer[:-1], hidden[None]], axis=0
+            )
+            return hidden, (new_cache, all_hs)
     else:
         def layer_nc(hidden, lp):
             q, k, v = qkv(lp, hidden)
@@ -226,9 +234,11 @@ def qwen3_forward(
         hidden, per_layer = jax.lax.scan(layer_nc, inputs_embeds, params["layers"])
         new_cache = None
         if output_hidden_states:
-            # (embeds, layer_1, ..., layer_L) like HF hidden_states
-            all_hs = jnp.concatenate([inputs_embeds[None], per_layer], axis=0)
             hidden = rms_norm(hidden, params["final_norm"], eps)
+            # HF hidden_states layout: the last entry is post-final-norm
+            all_hs = jnp.concatenate(
+                [inputs_embeds[None], per_layer[:-1], hidden[None]], axis=0
+            )
             return hidden, (new_cache, all_hs)
 
     hidden = rms_norm(hidden, params["final_norm"], eps)

@@ -46,6 +46,56 @@ MATMUL_KEYS = frozenset(
 )
 
 
+def random_quantized_like(shapes: Any, seed: int = 0, dtype=jnp.bfloat16,
+                          std: float = 0.02) -> Any:
+    """Build a random parameter pytree directly in the int8 serving layout.
+
+    For configs whose bf16 initialization would not fit device HBM (the 8B
+    Delay flagship is ~17 GB in bf16 on one 16 GB v5e), every MATMUL_KEYS
+    leaf is created as int8 + per-output-channel scale on device without
+    ever materializing a float master copy. ``shapes`` is the pytree of
+    ``ShapeDtypeStruct`` from ``jax.eval_shape`` over the model's init fn.
+    Benchmark-only: the weight values are random.
+    """
+    import functools
+
+    base = jax.random.PRNGKey(seed)
+    idx = [0]
+
+    def next_key():
+        idx[0] += 1
+        return jax.random.fold_in(base, idx[0])
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def int8_leaf(key, shape):
+        # randint -> int8 fuses into one generate+clip+convert kernel; no
+        # int32 intermediate is materialized in HBM.
+        return jax.random.randint(key, shape, -127, 128, jnp.int32).astype(jnp.int8)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def float_leaf(key, shape, dt):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dt)
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    out[k] = walk(v)
+                elif k in MATMUL_KEYS and v.ndim >= 2:
+                    q = int8_leaf(next_key(), tuple(v.shape))
+                    # scale matching an N(0, std^2) master weight's absmax
+                    scale = jnp.full(tuple(v.shape[:-2]) + (v.shape[-1],),
+                                     std * 4.0 / 127.0, jnp.float32)
+                    out[k] = QuantWeight(q=q, scale=scale)
+                else:
+                    out[k] = float_leaf(next_key(), tuple(v.shape), v.dtype)
+            return out
+        return node
+
+    return walk(shapes)
+
+
 def quantize_tree(params: Any) -> Any:
     """Quantize every eligible matmul weight in a param pytree (by key)."""
     def walk(node):
