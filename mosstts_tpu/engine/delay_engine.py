@@ -149,6 +149,7 @@ class DelayEngine:
         audio_top_p: float = 0.8,
         audio_top_k: int = 25,
         audio_repetition_penalty: float = 1.0,
+        audio_rp_cross_batch: bool = False,
         seed: int = 0,
         on_device: bool = False,
         poll_every: int = 8,
@@ -172,6 +173,7 @@ class DelayEngine:
             text_temperature=text_temperature, text_top_p=text_top_p,
             audio_temperature=audio_temperature, audio_top_p=audio_top_p,
             audio_repetition_penalty=audio_repetition_penalty,
+            audio_rp_cross_batch=audio_rp_cross_batch,
         )
         cache_len = _round_up(T + max_new_tokens + 1, self.cache_bucket)
         rng = jax.random.PRNGKey(seed)

@@ -176,13 +176,21 @@ class DelaySampling(NamedTuple):
     audio_repetition_penalty: jax.Array
     text_do_sample: jax.Array
     audio_do_sample: jax.Array
+    audio_rp_cross_batch: jax.Array
 
 
 def make_sampling(
     text_temperature=1.5, text_top_p=1.0, audio_temperature=1.7,
     audio_top_p=0.8, audio_repetition_penalty=1.0,
+    audio_rp_cross_batch=False,
 ) -> DelaySampling:
-    """temperature <= 0 means greedy (reference generate :406-415)."""
+    """temperature <= 0 means greedy (reference generate :406-415).
+
+    ``audio_rp_cross_batch=True`` reproduces the reference's exact
+    repetition-penalty semantics: per VQ head, the penalized token set is the
+    union of ALL batch rows' histories (inference_utils.py:62-108 flattens
+    ``prev_tokens[..., h]`` over the batch). Default keeps the stricter
+    per-sample set (identical at batch=1)."""
     tt, at = float(text_temperature), float(audio_temperature)
     return DelaySampling(
         text_temperature=jnp.float32(tt if tt > 0 else 1.0),
@@ -192,6 +200,7 @@ def make_sampling(
         audio_repetition_penalty=jnp.float32(audio_repetition_penalty),
         text_do_sample=jnp.bool_(tt > 0),
         audio_do_sample=jnp.bool_(at > 0),
+        audio_rp_cross_batch=jnp.bool_(audio_rp_cross_batch),
     )
 
 
@@ -341,8 +350,13 @@ def _delay_sample_and_update(
     post_mask = (ks > state.delayed[:, None] - 1) | (state.delayed[:, None] == SENTINEL)
     sampling_audio = pre_mask & post_mask  # (B, n_vq)
 
+    rp_seen = jnp.where(
+        s.audio_rp_cross_batch,
+        jnp.any(state.seen, axis=0, keepdims=True),  # union over batch rows
+        state.seen,
+    )
     audio_logits = apply_repetition_penalty_seen(
-        audio_logits, state.seen, s.audio_repetition_penalty
+        audio_logits, rp_seen, s.audio_repetition_penalty
     )
     sampled_audio = sample_topk_topp(
         k_audio, audio_logits, top_k=top_k_audio, top_p=s.audio_top_p,

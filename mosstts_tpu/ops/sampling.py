@@ -11,9 +11,10 @@ torch.multinomial (documented deviation, SURVEY.md S7.3).
 Repetition penalty here is tracked with a per-(sample, channel) "seen"
 bitmask over the vocab instead of re-scanning the whole token history each
 step — O(V) memory, O(1) update, identical penalty set when batch=1. (The
-reference flattens history across batch rows and, for depth channels>=2,
-across channels; we keep penalties per-sample/per-channel, which is the
-stricter, intended semantic.)
+reference flattens each VQ head's history across batch rows; our default
+keeps penalties per-sample/per-channel, the stricter intended semantic.
+``make_sampling(audio_rp_cross_batch=True)`` reproduces the reference's
+cross-batch union exactly for apples-to-apples checkpoint comparisons.)
 """
 from __future__ import annotations
 

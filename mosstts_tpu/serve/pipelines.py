@@ -44,6 +44,7 @@ def _generate_and_decode(
     max_new_tokens: int, temperature: float, top_p: float, top_k: int,
     repetition_penalty: float, text_temperature: float = 1.5,
     text_top_p: float = 1.0, text_top_k: int = 50, seed: int = 0,
+    rp_exact_mode: bool = False,
 ) -> Tuple[np.ndarray, str]:
     batch = backend.processor(conversations, mode=mode)
     if backend.demo and mode == "generation":
@@ -62,7 +63,8 @@ def _generate_and_decode(
         text_temperature=text_temperature, text_top_p=text_top_p,
         text_top_k=text_top_k,
         audio_temperature=temperature, audio_top_p=top_p, audio_top_k=top_k,
-        audio_repetition_penalty=repetition_penalty, seed=seed,
+        audio_repetition_penalty=repetition_penalty,
+        audio_rp_cross_batch=rp_exact_mode, seed=seed,
     )
     messages = backend.processor.decode(out)
     if not messages or messages[0] is None:

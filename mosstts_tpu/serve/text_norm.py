@@ -7,53 +7,82 @@ mapping, speaker-tag validation/merge, prompt-text prefixing.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional
+from itertools import groupby
+from typing import Dict, List, Optional, Tuple
 
-_REMOVE_CHARS = "【】《》（）『』「」" '"-_“”～~‘’'
+# --- speaker-tag grammar ----------------------------------------------------
+_BARE_NUM_TAG = re.compile(r"\[(\d+)\]")  # [2] -> [S2]
+_TAG_BOUNDARY = re.compile(r"(?=\[S\d+\])")
+_TAG_PREFIX = re.compile(r"^(\[S\d+\])\s*(.*)")
+
+# --- per-segment cleanup tables ---------------------------------------------
+# decorative brackets/quotes/underscores vanish entirely
+_DROP_TABLE = {ord(c): None for c in '【】《》（）『』「」"-_“”～~‘’'}
+# mid-sentence separators fold to the comma of their script
+_SEPARATOR_TABLE = str.maketrans({"；": "，", ";": ",", "：": "，", ":": ",", "、": "，"})
+# every long-dash / ellipsis variant reads as a breath pause
+_PAUSE_MARKS = re.compile("——|……|\\.\\.\\.|⸺|―|—|…")
+_LAUGH_ZH = re.compile(r"哈{2,}")
+_LAUGH_EN = re.compile(r"\b(ha(\s*ha)+)\b", re.IGNORECASE)
+_PUNCT_RUN = re.compile(r"([，。？！,.?!])[，。？！,.?!]+")
 
 
-def normalize_text(text: str) -> str:
-    text = re.sub(r"\[(\d+)\]", r"[S\1]", text)
-    segments = re.split(r"(?=\[S\d+\])", text.replace("\n", " "))
-    processed = []
-    for seg in segments:
+def _settle_sentence_ends(content: str) -> str:
+    """Keep one sentence-final mark: interior full stops become commas, and a
+    trailing comma is promoted to a full stop (both scripts)."""
+    if len(content) <= 1:
+        return content
+    final = {"，": "。", ",": "."}.get(content[-1], content[-1])
+    return content[:-1].replace("。", "，") + final
+
+
+# Ordered cleanup pipeline applied to each speaker segment's content.
+_CONTENT_PIPELINE = (
+    lambda s: s.translate(_DROP_TABLE),
+    lambda s: _LAUGH_ZH.sub("[笑]", s),
+    lambda s: _LAUGH_EN.sub("[laugh]", s),
+    lambda s: _PAUSE_MARKS.sub("，", s),
+    lambda s: s.translate(_SEPARATOR_TABLE),
+    str.strip,
+    lambda s: _PUNCT_RUN.sub(r"\1", s),
+    _settle_sentence_ends,
+)
+
+
+def _split_tagged(text: str) -> List[Tuple[str, str]]:
+    """Split on [Sn] boundaries into (tag, body) pairs; untagged prefixes get
+    an empty tag."""
+    pairs = []
+    for seg in _TAG_BOUNDARY.split(text):
         seg = seg.strip()
         if not seg:
             continue
-        matched = re.match(r"^(\[S\d+\])\s*(.*)", seg)
-        tag, content = matched.groups() if matched else ("", seg)
+        m = _TAG_PREFIX.match(seg)
+        pairs.append(m.groups() if m else ("", seg))
+    return pairs
 
-        content = re.sub(f"[{re.escape(_REMOVE_CHARS)}]", "", content)
-        content = re.sub(r"哈{2,}", "[笑]", content)
-        content = re.sub(r"\b(ha(\s*ha)+)\b", "[laugh]", content, flags=re.IGNORECASE)
-        for dash in ("——", "……", "...", "⸺", "―", "—", "…"):
-            content = content.replace(dash, "，")
-        content = content.translate(
-            str.maketrans({"；": "，", ";": ",", "：": "，", ":": ",", "、": "，"})
-        )
-        content = content.strip()
-        content = re.sub(r"([，。？！,.?!])[，。？！,.?!]+", r"\1", content)
-        if len(content) > 1:
-            last_ch = "。" if content[-1] == "，" else ("." if content[-1] == "," else content[-1])
-            body = content[:-1].replace("。", "，")
-            content = body + last_ch
-        processed.append({"tag": tag, "content": content})
 
-    if not processed:
-        return ""
+def normalize_text(text: str) -> str:
+    """Normalize TTSD dialogue text (behavioral contract pinned by the golden
+    vectors in tests/test_text_norm.py, from the reference TTSD app's
+    normalization, clis/moss_ttsd_app.py:125-182)."""
+    text = _BARE_NUM_TAG.sub(r"[S\1]", text).replace("\n", " ")
 
-    merged: List[str] = []
-    cur_tag = processed[0]["tag"]
-    cur_content = [processed[0]["content"]]
-    for part in processed[1:]:
-        if part["tag"] == cur_tag and cur_tag:
-            cur_content.append(part["content"])
+    cleaned: List[Tuple[str, str]] = []
+    for tag, body in _split_tagged(text):
+        for step in _CONTENT_PIPELINE:
+            body = step(body)
+        cleaned.append((tag, body))
+
+    # consecutive segments of the same (non-empty) speaker concatenate
+    lines: List[str] = []
+    for tag, group in groupby(cleaned, key=lambda tb: tb[0]):
+        bodies = [b for _, b in group]
+        if tag:
+            lines.append((tag + "".join(bodies)).strip())
         else:
-            merged.append(f"{cur_tag}{''.join(cur_content)}".strip())
-            cur_tag = part["tag"]
-            cur_content = [part["content"]]
-    merged.append(f"{cur_tag}{''.join(cur_content)}".strip())
-    return "".join(merged).replace("‘", "'").replace("’", "'")
+            lines.extend(b.strip() for b in bodies)
+    return "".join(lines).replace("‘", "'").replace("’", "'")
 
 
 def validate_dialogue_text(dialogue_text: str, speaker_count: int) -> str:

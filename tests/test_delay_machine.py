@@ -180,3 +180,57 @@ def test_state_machine_matches_oracle():
     end_i = texts.index(cfg.audio_end_token_id)
     # all channels pad from the audio_end step onward
     assert (out[end_i, 1:] == cfg.audio_pad_code).all()
+
+
+def test_repetition_penalty_cross_batch_mode():
+    """Exact-mode rp reproduces the reference's cross-batch union semantics
+    (inference_utils.py:62-108 flattens prev_tokens[..., h] over the batch);
+    default mode keeps penalties per-sample."""
+    cfg = CFG
+    n_vq, Va = cfg.n_vq, cfg.audio_emb_vocab
+    V = cfg.language_config.vocab_size
+    B = 2
+
+    def fresh_state(n_steps=1):
+        return DelayGenState(
+            cache=init_kv_cache(cfg.language_config, B, 8, dtype=jnp.float32),
+            kv_valid=jnp.zeros((B, 8), jnp.bool_),
+            cur_ids=jnp.zeros((B, 1, cfg.channels), jnp.int32),
+            pos=jnp.zeros((B,), jnp.int32),
+            step=jnp.zeros((B,), jnp.int32),
+            rng=jax.random.PRNGKey(0),
+            is_stopping=jnp.zeros((B,), jnp.bool_),
+            is_audio=jnp.ones((B,), jnp.bool_),
+            audio_lengths=jnp.full((B,), n_vq, jnp.int32),  # all channels live
+            delayed=jnp.full((B,), SENTINEL, jnp.int32),
+            # row 0 has already emitted token 5 on every channel; row 1 nothing
+            seen=jnp.zeros((B, n_vq, Va), jnp.bool_).at[0, :, 5].set(True),
+            out=jnp.zeros((B, 4, cfg.channels), jnp.int32),
+            out_valid=jnp.zeros((B, 4), jnp.bool_),
+        )
+
+    # greedy; token 5 slightly beats token 3 unless penalized
+    audio_logits = np.full((B, n_vq, Va), -10.0, np.float32)
+    audio_logits[..., 5] = 1.0
+    audio_logits[..., 3] = 0.5
+    text_logits = np.full((B, V), -10.0, np.float32)
+    text_logits[:, cfg.audio_assistant_gen_slot_token_id] = 10.0
+
+    def run(cross_batch):
+        sampling = make_sampling(
+            text_temperature=0.0, audio_temperature=0.0,
+            audio_repetition_penalty=100.0, audio_rp_cross_batch=cross_batch,
+        )
+        st = _delay_sample_and_update(
+            fresh_state(), cfg, sampling, 50, 25,
+            jnp.asarray(text_logits), jnp.asarray(audio_logits),
+        )
+        return np.asarray(st.out)[:, 0, 1:]  # (B, n_vq) audio tokens
+
+    per_sample = run(False)
+    assert (per_sample[0] == 3).all()   # row 0 saw 5 -> penalized
+    assert (per_sample[1] == 5).all()   # row 1 did not -> unpenalized
+
+    exact = run(True)
+    assert (exact[0] == 3).all()
+    assert (exact[1] == 3).all()        # union over batch penalizes row 1 too
