@@ -130,6 +130,83 @@ def run_size(size: str, args) -> dict:
     }
 
 
+def run_ttfa(args) -> dict:
+    """Measured end-to-end time-to-first-audio for the realtime stack:
+    reset -> prefill(turn grid + 12 text tokens) -> frames -> first codec
+    chunk (3 frames = 240 ms of audio, the reference examples' default
+    decode_chunk_frames, moss_tts_realtime/example_llm_stream_to_tts.py:201).
+    Wall-clock from 'text available' to first audible samples; p50/p95 over
+    --ttfa-runs runs. North star: < 200 ms (BASELINE.md)."""
+    from mosstts_tpu.codec.model import MossAudioTokenizer
+    from mosstts_tpu.core.config import CodecConfig, RealtimeConfig
+    from mosstts_tpu.engine.realtime_engine import RealtimeEngine
+    from mosstts_tpu.engine.streaming import (
+        AudioStreamDecoder,
+        RealtimeStreamingSession,
+        RealtimeTextStreamBridge,
+    )
+    from mosstts_tpu.processing.realtime_processor import RealtimeProcessor
+    from mosstts_tpu.processing.tokenizer import ByteFallbackTokenizer
+
+    cfg = RealtimeConfig()  # flagship realtime scale: 1.7B backbone + depth txf
+    engine = RealtimeEngine.random_init(seed=0, config=cfg, dtype=jnp.bfloat16)
+    engine.quantize("int8")
+    proc = RealtimeProcessor(ByteFallbackTokenizer(), channels=cfg.rvq)
+    codec = MossAudioTokenizer.random_init(
+        seed=0, config=CodecConfig(n_q=cfg.rvq))
+    session = RealtimeStreamingSession(engine, proc, codec=codec)
+
+    rng = np.random.default_rng(0)
+    user_audio = rng.integers(0, 1024, (4, cfg.rvq))
+    text_tokens = proc.tokenizer.encode(
+        "Hello there, this is a latency measurement run for the realtime "
+        "text to speech stack.")
+
+    def one_run() -> float:
+        session.reset_turn(user_text="hi", user_audio_tokens=user_audio,
+                           reset_cache=True)
+        decoder = AudioStreamDecoder(codec, chunk_frames=3, overlap_frames=0)
+        bridge = RealtimeTextStreamBridge(session, decoder)
+        # LLM-delta-sized pushes: 12 tokens trigger prefill (frame 1), then
+        # each small push steps one frame per token
+        pushes = [text_tokens[:12]] + [
+            text_tokens[i:i + 2] for i in range(12, len(text_tokens), 2)
+        ]
+        t0 = time.perf_counter()
+        with codec.streaming(batch_size=1):
+            first = None
+            for push in pushes:
+                for wav in bridge.push_text_tokens(push):
+                    first = wav
+                    break
+                if first is not None:
+                    break
+            if first is None:
+                raise RuntimeError("no audio chunk emitted")
+        return (time.perf_counter() - t0) * 1000.0
+
+    log("[ttfa] warmup (compiles prefill/frame/codec programs)...")
+    for _ in range(2):
+        one_run()
+    lat = sorted(one_run() for _ in range(args.ttfa_runs))
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+    return {
+        "metric": "realtime_ttfa_ms_p50",
+        "value": round(p50, 1),
+        "unit": "ms",
+        "vs_baseline": round(200.0 / p50, 3),  # target <200 ms; >1 is better
+        "detail": {
+            "p95_ms": round(p95, 1),
+            "runs": args.ttfa_runs,
+            "first_chunk_frames": 3,
+            "prefill_text_tokens": 12,
+            "device": str(jax.devices()[0]),
+            "int8": True,
+        },
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=["tiny", "1p7b", "8b", "all"], default="all",
@@ -142,8 +219,16 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="disable int8 weight-only quantization for the 1.7B "
                          "config (8B is int8-only: bf16 exceeds v5e HBM)")
+    ap.add_argument("--ttfa", action="store_true",
+                    help="measure end-to-end realtime time-to-first-audio "
+                         "instead of decode throughput")
+    ap.add_argument("--ttfa-runs", type=int, default=20)
     args = ap.parse_args()
     size = "tiny" if args.tiny else args.size
+
+    if args.ttfa:
+        print(json.dumps(run_ttfa(args)))
+        return
 
     if size == "all":
         sizes = {}

@@ -55,9 +55,16 @@ class RealtimeEngine:
         self._jit: Dict[Any, Any] = {}
 
         self.state: Optional[RealtimeState] = None
-        self._generated: List[np.ndarray] = []
+        # self._generated holds np frames AND in-flight device handles; frames
+        # are fetched in batches (one tunnel round-trip for K frames) instead
+        # of per step — host<->device latency dominated the per-frame cost.
+        self._generated: List[Any] = []
         self._batch: Optional[int] = None
         self._seed = 0
+        # host mirrors of device state, so the hot step path never blocks on
+        # a device read: cache cursor and per-row sticky EOS
+        self._host_len = 0
+        self._stopped: Optional[np.ndarray] = None
 
     @classmethod
     def random_init(cls, seed: int = 0, config: Optional[RealtimeConfig] = None,
@@ -79,26 +86,62 @@ class RealtimeEngine:
     # ------------------------------------------------------------------
     @property
     def is_finished(self) -> bool:
-        if self.state is None:
+        """Host-side: sticky EOS derived from fetched frames — no device
+        read. In-flight (unfetched) frames may already contain an EOS; that
+        only means a few extra no-op steps get enqueued (stopped rows freeze
+        their frame on device)."""
+        if self._stopped is None:
             return False
-        return bool(jax.device_get(self.state.is_stopping).all())
+        return bool(self._stopped.all())
 
     @property
     def generated_tokens(self) -> List[np.ndarray]:
+        self._materialize_generated()
         return list(self._generated)
 
     def reset_generation_state(self, keep_cache: bool = True):
         """Start a new turn; with keep_cache the backbone KV (and mask)
         carries over for multi-turn context (reference :78-87)."""
         self._generated = []
+        self._stopped = None
         if not keep_cache or self.state is None:
             self.state = None
+            self._host_len = 0
         else:
             self.state = self.state._replace(
                 is_stopping=jnp.zeros_like(self.state.is_stopping),
                 last_audio=jnp.full_like(self.state.last_audio, self.config.audio_pad_token),
                 hist_len=jnp.int32(0),
             )
+
+    # ------------------------------------------------------------------
+    def _note_frames(self, frames_np: np.ndarray):
+        """Update the host EOS mirror from fetched frames (B, rvq) or
+        (T, B, rvq)."""
+        if self._stopped is None:
+            return
+        f = frames_np if frames_np.ndim == 3 else frames_np[None]
+        eos = (f[..., 0] == self.config.audio_eos_token).any(axis=0)
+        self._stopped |= eos
+
+    def fetch_frames(self, handles: List[jax.Array]) -> List[np.ndarray]:
+        """Fetch K in-flight frames in ONE host transfer: stack on device,
+        single device_get (each individual fetch costs a tunnel round-trip;
+        the stack is free)."""
+        if not handles:
+            return []
+        stacked = np.asarray(jax.device_get(jnp.stack(handles)))  # (K, B, rvq)
+        self._note_frames(stacked)
+        return [stacked[i] for i in range(stacked.shape[0])]
+
+    def _materialize_generated(self):
+        pending = [(i, h) for i, h in enumerate(self._generated)
+                   if not isinstance(h, np.ndarray)]
+        if not pending:
+            return
+        fetched = self.fetch_frames([h for _, h in pending])
+        for (i, _), f in zip(pending, fetched):
+            self._generated[i] = f
 
     # ------------------------------------------------------------------
     def _prefill_fn(self, T: int, attend_len=None):
@@ -242,19 +285,24 @@ class RealtimeEngine:
                 jax.random.PRNGKey(self._seed), dtype=self.dtype,
             )
             self._batch = B
-        # capacity check (cache overflow would silently clamp)
-        used = int(jax.device_get(self.state.cur_len))
+            self._host_len = 0
+        # capacity check (cache overflow would silently clamp); the cursor is
+        # mirrored on host so no device read is needed
+        used = self._host_len
         self._ensure_capacity(used + max_len)
 
         attend = self._attend_bucket(used + max_len)
         self.state, frame = self._prefill_fn(max_len, attend)(
             self.params, self.state, jnp.asarray(ids), jnp.asarray(valid), sampling
         )
+        self._host_len = used + max_len
+        self._stopped = np.zeros((B,), bool)
         frame_np = np.asarray(jax.device_get(frame))
+        self._note_frames(frame_np)
         self._generated = [frame_np]
         return frame_np
 
-    def step(
+    def step_async(
         self,
         text_token,
         *,
@@ -264,12 +312,16 @@ class RealtimeEngine:
         do_sample: bool = True,
         repetition_penalty: Optional[float] = 1.1,
         text_pad_id: int = 151655,
-    ) -> np.ndarray:
+    ) -> jax.Array:
+        """Enqueue one frame step and return the in-flight device handle
+        WITHOUT waiting (~0.2 ms). The state dependency chains on device, so
+        callers can enqueue many steps back-to-back and then fetch all frames
+        in one transfer via ``fetch_frames`` — per-frame host<->device round
+        trips (tens of ms over a remote tunnel) were the dominant realtime
+        latency, not the 10 ms on-device step."""
         if self.state is None or not self._generated:
             raise ValueError("You must call prefill() before step().")
         B = self._batch
-        if self.is_finished:
-            return self._generated[-1]
         if text_token is None:
             toks = [text_pad_id] * B
         elif isinstance(text_token, (int, np.integer)):
@@ -280,25 +332,56 @@ class RealtimeEngine:
             toks = list(text_token)
         if len(toks) != B:
             raise ValueError(f"text_token batch size mismatch: got {len(toks)}, expected {B}.")
-        used = int(jax.device_get(self.state.cur_len))
-        self._ensure_capacity(used + 1)
+        self._ensure_capacity(self._host_len + 1)
 
         sampling = make_rt_sampling(temperature, top_p, repetition_penalty, do_sample)
-        attend = self._attend_bucket(used + 1)
+        attend = self._attend_bucket(self._host_len + 1)
         self.state, frame = self._step_fn(attend)(
             self.params, self.state, jnp.asarray(toks, jnp.int32), sampling
         )
-        frame_np = np.asarray(jax.device_get(frame))
-        self._generated.append(frame_np)
+        self._host_len += 1
+        self._generated.append(frame)
+        return frame
+
+    def step(self, text_token, **kw) -> np.ndarray:
+        """Synchronous single frame step (prefill() must come first)."""
+        if self.is_finished:
+            self._materialize_generated()
+            return self._generated[-1]
+        handle = self.step_async(text_token, **kw)
+        frame_np = self.fetch_frames([handle])[0]
+        self._generated[-1] = frame_np
         return frame_np
 
-    def finish(self, max_steps: Optional[int] = None, **sampling_kw) -> List[np.ndarray]:
-        """Drain with text pads until EOS (reference :273-299)."""
-        outputs = []
+    def step_block(self, token_rows: List, **kw) -> List[np.ndarray]:
+        """Enqueue one step per entry of ``token_rows`` (each a per-batch
+        token list, or None for pads) and fetch all frames in one transfer."""
+        if self.is_finished or not token_rows:
+            return []
+        start = len(self._generated)
+        handles = [self.step_async(t, **kw) for t in token_rows]
+        frames = self.fetch_frames(handles)
+        for i, f in enumerate(frames):
+            self._generated[start + i] = f
+        return frames
+
+    def finish(self, max_steps: Optional[int] = None, drain_block: int = 8,
+               **sampling_kw) -> List[np.ndarray]:
+        """Drain with text pads until EOS (reference :273-299). Steps are
+        enqueued in ``drain_block`` batches and fetched with one transfer per
+        block — EOS is detected up to a block late; the surplus frames are
+        frozen repeats that downstream EOS-sanitization drops."""
+        outputs: List[np.ndarray] = []
         steps_left = max_steps if max_steps is not None else self.max_length
         while steps_left > 0 and not self.is_finished:
-            outputs.append(self.step(None, **sampling_kw))
-            steps_left -= 1
+            block = min(drain_block, steps_left)
+            start = len(self._generated)
+            handles = [self.step_async(None, **sampling_kw) for _ in range(block)]
+            frames = self.fetch_frames(handles)
+            for i, f in enumerate(frames):
+                self._generated[start + i] = f
+            steps_left -= block
+            outputs.extend(frames)
         return outputs
 
     # ------------------------------------------------------------------
@@ -323,12 +406,21 @@ class RealtimeEngine:
         limit = max_length or self.max_length
         step_i = 0
         while not self.is_finished and step_i < limit:
-            toks = [
-                rest[b][step_i] if step_i < len(rest[b]) else text_pad_id
-                for b in range(B)
-            ]
-            self.step(toks, text_pad_id=text_pad_id, **sampling_kw)
-            step_i += 1
+            # pipeline a block of steps, then one fetch for the whole block
+            block = min(8, limit - step_i)
+            start = len(self._generated)
+            handles = []
+            for _ in range(block):
+                toks = [
+                    rest[b][step_i] if step_i < len(rest[b]) else text_pad_id
+                    for b in range(B)
+                ]
+                handles.append(self.step_async(toks, text_pad_id=text_pad_id,
+                                               **sampling_kw))
+                step_i += 1
+            for i, f in enumerate(self.fetch_frames(handles)):
+                self._generated[start + i] = f
+        self._materialize_generated()
         frames = np.stack(self._generated, axis=1)  # (B, T, rvq)
         out = []
         for b in range(B):

@@ -8,13 +8,125 @@ numpy logic (the device work happens inside RealtimeEngine's jitted steps).
 from __future__ import annotations
 
 import contextlib
+import os
 import re
-from typing import Iterable, Iterator, List, Optional, Sequence
+import time
+from collections import OrderedDict
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..utils import audio as audio_io
 from .realtime_engine import RealtimeEngine
+
+
+class BufferedAudioTracker:
+    """How far ahead of realtime playback the emitted audio is.
+
+    Serving parity with the reference app's buffer tracking
+    (moss_tts_realtime/app.py:182-200,257-261): the clock starts at the
+    first emitted chunk; ``buffered_seconds`` is emitted-audio-time minus
+    elapsed wall time (a client playing in realtime has this much runway).
+    """
+
+    def __init__(self, sample_rate: int):
+        self.sample_rate = int(sample_rate)
+        self._t_first: Optional[float] = None
+        self._samples = 0
+
+    def add(self, chunk: np.ndarray) -> None:
+        n = int(np.asarray(chunk).size)
+        if n == 0:
+            return
+        if self._t_first is None:
+            self._t_first = time.monotonic()
+        self._samples += n
+
+    def buffered_seconds(self) -> float:
+        if self._t_first is None:
+            return 0.0
+        runway = self._samples / self.sample_rate - (time.monotonic() - self._t_first)
+        return max(0.0, runway)
+
+    def wait_until_below(self, threshold_seconds: float, poll: float = 0.01) -> None:
+        """Backpressure: stall generation while the client-side buffer holds
+        more than ``threshold_seconds`` of unplayed audio."""
+        if threshold_seconds <= 0:
+            return
+        while self.buffered_seconds() > threshold_seconds:
+            time.sleep(poll)
+
+
+def stream_with_prebuffer(
+    chunks: Iterable[np.ndarray],
+    sample_rate: int,
+    *,
+    prebuffer_seconds: float = 0.0,
+    buffer_threshold_seconds: float = 0.0,
+) -> Iterator[np.ndarray]:
+    """Wrap a chunk stream with an initial prebuffer and playback-rate
+    backpressure (reference app.py:481-512 prebuffer, :257-261 throttle).
+
+    ``prebuffer_seconds`` holds back the stream start until that much audio
+    is banked, so playback never underruns on the first chunks;
+    ``buffer_threshold_seconds`` then throttles generation whenever the
+    emitted-but-unplayed runway exceeds the threshold, bounding server-side
+    burst memory and keeping cancellation responsive."""
+    tracker = BufferedAudioTracker(sample_rate)
+    held: List[np.ndarray] = []
+    held_samples = 0
+    prebuffering = prebuffer_seconds > 0
+    for chunk in chunks:
+        chunk = np.asarray(chunk)
+        if prebuffering:
+            held.append(chunk)
+            held_samples += chunk.size
+            if held_samples / sample_rate >= prebuffer_seconds:
+                prebuffering = False
+                for c in held:
+                    tracker.add(c)
+                    yield c
+                held, held_samples = [], 0
+            continue
+        tracker.wait_until_below(buffer_threshold_seconds)
+        tracker.add(chunk)
+        yield chunk
+    for c in held:  # stream ended while still prebuffering
+        tracker.add(c)
+        yield c
+
+
+class AudioTokenCache:
+    """LRU of codec encodes for on-disk audio (voice prompts, user wavs),
+    keyed by (resolved path, mtime_ns, encode-kwargs signature) so edits
+    invalidate (reference app.py:364-390)."""
+
+    def __init__(self, max_entries: int = 32):
+        self.max_entries = int(max_entries)
+        self._store: "OrderedDict[Tuple, np.ndarray]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, path: str, encode_kwargs: Optional[dict]) -> Tuple:
+        resolved = os.path.realpath(os.path.expanduser(path))
+        sig = tuple(sorted((encode_kwargs or {}).items()))
+        return (resolved, os.stat(resolved).st_mtime_ns, sig)
+
+    def get_or_encode(self, path: str, encode_fn, encode_kwargs: Optional[dict] = None
+                      ) -> np.ndarray:
+        key = self._key(path, encode_kwargs)
+        tokens = self._store.get(key)
+        if tokens is not None:
+            self.hits += 1
+            self._store.move_to_end(key)
+            return tokens
+        self.misses += 1
+        tokens = np.asarray(encode_fn(path))
+        self._store[key] = tokens
+        self._store.move_to_end(key)
+        while len(self._store) > self.max_entries:
+            self._store.popitem(last=False)
+        return tokens
 
 
 class RealtimeStreamingSession:
@@ -43,8 +155,10 @@ class RealtimeStreamingSession:
         top_k: int = 30,
         do_sample: bool = True,
         repetition_penalty: Optional[float] = 1.1,
+        token_cache: Optional["AudioTokenCache"] = None,
     ):
         self.inferencer = inferencer
+        self.token_cache = token_cache
         self.processor = processor
         self.tokenizer = processor.tokenizer
         self.codec = codec
@@ -80,17 +194,30 @@ class RealtimeStreamingSession:
                 return
         if self.codec is None:
             raise ValueError("codec is required to encode waveform prompts.")
+        if isinstance(audio, (str, bytes)) and self.token_cache is not None:
+            self._voice_prompt_tokens = self.token_cache.get_or_encode(
+                audio if isinstance(audio, str) else audio.decode(),
+                self._encode_wav_path, self.codec_encode_kwargs,
+            )
+            return
         waveform = audio
         if isinstance(audio, (str, bytes)):
             wav, sr = audio_io.read_wav(audio)
             waveform = audio_io.to_mono(wav)
             sample_rate = sr
+        self._voice_prompt_tokens = self._encode_waveform(waveform, sample_rate)
+
+    def _encode_wav_path(self, path: str) -> np.ndarray:
+        wav, sr = audio_io.read_wav(path)
+        return self._encode_waveform(audio_io.to_mono(wav), sr)
+
+    def _encode_waveform(self, waveform, sample_rate: Optional[int]) -> np.ndarray:
         waveform = np.asarray(waveform, np.float32)
         if sample_rate is not None and sample_rate != self.codec_sample_rate:
             waveform = audio_io.resample(waveform, sample_rate, self.codec_sample_rate)
         enc = self.codec.batch_encode([waveform], **self.codec_encode_kwargs)
         codes = np.asarray(enc.audio_codes)  # (NQ, 1, T)
-        self._voice_prompt_tokens = codes[:, 0, : int(enc.audio_codes_lengths[0])]
+        return codes[:, 0, : int(enc.audio_codes_lengths[0])]
 
     def clear_voice_prompt(self):
         self._voice_prompt_tokens = None
@@ -204,15 +331,23 @@ class RealtimeStreamingSession:
         self._prefilled = True
         return [frame]
 
+    # frames are fetched from the device in blocks of this many steps: steps
+    # enqueue asynchronously (device-chained), so one host round-trip serves
+    # the whole block — small enough to keep first-chunk latency low, large
+    # enough to amortize the tunnel RTT
+    fetch_block = 4
+
     def _drain_pending_tokens(self) -> List[np.ndarray]:
         outputs = self._prefill_if_needed()
         if not self._prefilled:
             return outputs
+        B = self.inferencer._batch or 1
         while self._pending_tokens and not self.inferencer.is_finished:
-            token = self._pending_tokens.pop(0)
-            outputs.append(
-                self.inferencer.step(
-                    [token] * (self.inferencer._batch or 1),
+            block = self._pending_tokens[: self.fetch_block]
+            del self._pending_tokens[: self.fetch_block]
+            outputs.extend(
+                self.inferencer.step_block(
+                    [[t] * B for t in block],
                     temperature=self.temperature, top_p=self.top_p,
                     top_k=self.top_k, do_sample=self.do_sample,
                     repetition_penalty=self.repetition_penalty,

@@ -179,17 +179,20 @@ def build_realtime_demo(model_path=None, codec_path=None):
     from ..engine.metrics import SynthesisMetrics
     from ..engine.streaming import (
         AudioStreamDecoder,
+        AudioTokenCache,
         RealtimeStreamingSession,
         RealtimeTextStreamBridge,
+        stream_with_prebuffer,
     )
 
     engine, proc, codec = load_realtime_backend(model_path, codec_path)
+    token_cache = AudioTokenCache(max_entries=32)  # voice-prompt encode LRU
 
     def run_stream(text, voice_prompt, temperature, top_p, top_k, rp,
-                   chunk_frames):
+                   chunk_frames, prebuffer_s, buffer_threshold_s):
         session = RealtimeStreamingSession(
             engine, proc, codec=codec, temperature=temperature, top_p=top_p,
-            top_k=int(top_k), repetition_penalty=rp,
+            top_k=int(top_k), repetition_penalty=rp, token_cache=token_cache,
         )
         if voice_prompt:
             session.set_voice_prompt(voice_prompt)
@@ -200,9 +203,18 @@ def build_realtime_demo(model_path=None, codec_path=None):
         bridge = RealtimeTextStreamBridge(session, decoder)
         metrics = SynthesisMetrics(sample_rate=codec.sampling_rate)
         with codec.streaming(batch_size=1):
-            for wav in bridge.stream_from_text_deltas([text]):
+            chunks = stream_with_prebuffer(
+                bridge.stream_from_text_deltas([text]), codec.sampling_rate,
+                prebuffer_seconds=float(prebuffer_s),
+                buffer_threshold_seconds=float(buffer_threshold_s),
+            )
+            for i, wav in enumerate(chunks):
                 metrics.add_audio(wav.size)
-                yield (codec.sampling_rate, wav), metrics.json()
+                rep = metrics.report()
+                live = (f"chunk {i + 1} | ttfa={1000 * (rep['ttfa_s'] or 0):.0f}ms"
+                        f" | rtf={rep['rtf_x']} | audio={rep['audio_s']}s")
+                yield (codec.sampling_rate, wav), live
+        yield None, f"done | {metrics.json()}"
 
     with gr.Blocks(title="MOSS-TTS-Realtime (TPU)") as demo:
         gr.Markdown("# MOSS-TTS-Realtime — streaming synthesis (TPU)")
@@ -213,10 +225,14 @@ def build_realtime_demo(model_path=None, codec_path=None):
         k = gr.Slider(0, 100, value=30, step=1, label="top_k")
         r = gr.Slider(0.8, 2.0, value=1.1, label="repetition_penalty")
         cf = gr.Slider(4, 50, value=12, step=1, label="chunk frames")
+        pb = gr.Slider(0.0, 20.0, value=0.0, step=0.05, label="initial buffer (s)")
+        bt = gr.Slider(0.0, 60.0, value=0.0, step=0.5,
+                       label="backpressure threshold (s, 0 = off)")
         btn = gr.Button("Stream")
         audio = gr.Audio(label="Streaming output", streaming=True, autoplay=True)
-        status = gr.Textbox(label="TTFA / RTF")
-        btn.click(run_stream, [text, voice, t, p, k, r, cf], [audio, status])
+        status = gr.Textbox(label="TTFA / RTF (live)")
+        btn.click(run_stream, [text, voice, t, p, k, r, cf, pb, bt],
+                  [audio, status])
     return demo
 
 

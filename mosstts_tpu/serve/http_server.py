@@ -29,7 +29,18 @@ import numpy as np
 from ..engine.metrics import SynthesisMetrics
 from ..utils.native import float_to_pcm16
 
-_STATE = {"last_metrics": None, "lock": threading.Lock(), "args": None}
+_STATE = {"last_metrics": None, "lock": threading.Lock(), "args": None,
+          "token_cache": None}
+
+
+def _token_cache():
+    """Process-wide voice-prompt encode LRU (reference app.py:364-390)."""
+    with _STATE["lock"]:
+        if _STATE["token_cache"] is None:
+            from ..engine.streaming import AudioTokenCache
+
+            _STATE["token_cache"] = AudioTokenCache(max_entries=32)
+        return _STATE["token_cache"]
 
 
 def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
@@ -167,12 +178,21 @@ class Handler(BaseHTTPRequestHandler):
         self._send(200, _wav_bytes(wav, sr), "audio/wav", {"X-Status": status})
 
     def _stream(self, body):
-        """Chunked PCM16 streaming over the realtime path; TTFA in trailer-free
-        headers is approximated by the first chunk's arrival."""
+        """Chunked PCM16 streaming over the realtime path.
+
+        Serving-UX parity with the reference realtime app: initial prebuffer
+        (``prebuffer_seconds``) and playback-rate backpressure
+        (``buffer_threshold_seconds``) via stream_with_prebuffer
+        (reference app.py:182-200,257-261,481-512); voice-prompt codec
+        encodes go through the process-wide AudioTokenCache LRU
+        (app.py:364-390). Live TTFA/RTF per chunk ride as chunked-encoding
+        chunk extensions (``<size>;ttfa=..;rtf=..``) — standards-compliant,
+        ignored by plain clients, parseable by ours."""
         from ..engine.streaming import (
             AudioStreamDecoder,
             RealtimeStreamingSession,
             RealtimeTextStreamBridge,
+            stream_with_prebuffer,
         )
         from .backend import load_realtime_backend
 
@@ -184,7 +204,10 @@ class Handler(BaseHTTPRequestHandler):
             top_p=float(body.get("top_p", 0.6)),
             top_k=int(body.get("top_k", 30)),
             repetition_penalty=body.get("repetition_penalty", 1.1),
+            token_cache=_token_cache(),
         )
+        if body.get("voice_prompt"):
+            session.set_voice_prompt(body["voice_prompt"])
         rng = np.random.default_rng(int(body.get("seed", 0)))
         user_audio = rng.integers(0, 1024, (int(body.get("user_audio_frames", 4)),
                                             engine.config.rvq))
@@ -203,13 +226,22 @@ class Handler(BaseHTTPRequestHandler):
 
         def emit(chunk: np.ndarray):
             pcm = float_to_pcm16(np.nan_to_num(chunk)).tobytes()
-            self.wfile.write(f"{len(pcm):X}\r\n".encode())
+            m.add_audio(chunk.size)
+            ttfa = m.ttfa if m.ttfa is not None else 0.0
+            rtf = m.rtf if m.rtf is not None else 0.0
+            ext = f";ttfa={ttfa * 1000:.0f}ms;rtf={rtf:.2f}"
+            self.wfile.write(f"{len(pcm):X}{ext}\r\n".encode())
             self.wfile.write(pcm)
             self.wfile.write(b"\r\n")
-            m.add_audio(chunk.size)
 
         with codec.streaming(batch_size=1):
-            for wav in bridge.stream_from_text_deltas([body["text"]]):
+            chunks = bridge.stream_from_text_deltas([body["text"]])
+            for wav in stream_with_prebuffer(
+                chunks, codec.sampling_rate,
+                prebuffer_seconds=float(body.get("prebuffer_seconds", 0.0)),
+                buffer_threshold_seconds=float(
+                    body.get("buffer_threshold_seconds", 0.0)),
+            ):
                 emit(wav)
         self.wfile.write(b"0\r\n\r\n")
         self._record(m)

@@ -75,3 +75,29 @@ def test_unknown_route(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_stream_with_prebuffer_and_voice_prompt(server, tmp_path):
+    from mosstts_tpu.utils.audio import write_wav
+
+    wav_path = tmp_path / "prompt.wav"
+    rng = np.random.default_rng(0)
+    write_wav(str(wav_path), (rng.standard_normal(4800) * 0.1).astype(np.float32), 24000)
+
+    body = {
+        "text": "Prebuffered streaming test sentence goes here.",
+        "temperature": 0, "chunk_frames": 4,
+        "prebuffer_seconds": 0.2, "buffer_threshold_seconds": 5.0,
+        "voice_prompt": str(wav_path),
+    }
+    with _post(server + "/stream", body) as r:
+        pcm = r.read()
+    assert len(pcm) > 0 and len(pcm) % 2 == 0
+
+    # second request hits the voice-prompt LRU
+    from mosstts_tpu.serve import http_server as hs
+    cache = hs._token_cache()
+    before = cache.hits
+    with _post(server + "/stream", body) as r:
+        assert len(r.read()) > 0
+    assert cache.hits == before + 1
