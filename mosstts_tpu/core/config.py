@@ -252,9 +252,6 @@ class CodecConfig:
     head_dim: int = 64
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10_000.0
-    # Each 12.5 Hz frame covers hop samples; patchify in sub-patches so the
-    # IO projections stay MXU-friendly.
-    sub_patches: int = 4  # 1920 = 4 x 480 sub-patches per frame
     causal_context: int = 128  # frames of causal attention context
     # decoder overlap-add synthesis: each frame predicts hop + hop//overlap_div
     # samples; adjacent frames crossfade over the extra tail
@@ -266,16 +263,27 @@ class CodecConfig:
         return hop
 
     @property
-    def sub_hop(self) -> int:
-        return self.hop // self.sub_patches
-
-    @property
     def overlap(self) -> int:
         return self.hop // self.overlap_div
 
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any]) -> "CodecConfig":
         return cls(**_filter_kwargs(cls, dict(d)))
+
+
+def codec_1p6b(**over) -> CodecConfig:
+    """Parity-scale codec preset (~1.5B transformer params): the reference
+    Cat / MOSS-Audio-Tokenizer is a 1.6B-param codec with SOTA reconstruction
+    at 0.125-4 kbps (README.md:378-408; it ships weights but no source).
+    22+22 causal transformer layers at hidden 1536 / ffn 6144."""
+    base = dict(
+        hidden_size=1536, intermediate_size=6144,
+        num_encoder_layers=22, num_decoder_layers=22,
+        num_attention_heads=12, num_key_value_heads=4, head_dim=128,
+        codebook_dim=256,
+    )
+    base.update(over)
+    return CodecConfig(**base)
 
 
 def qwen3_1p7b(**over) -> Qwen3Config:
