@@ -20,7 +20,7 @@ from ..nn.qwen3 import KVCache, qwen3_forward
 
 
 class StreamState(NamedTuple):
-    k: jax.Array  # (L, B, W, KV, hd)
+    k: jax.Array  # (L, B, KV, W, hd) — nn/qwen3.KVCache layout
     v: jax.Array
     positions: jax.Array  # (B, W) absolute positions of slots
     valid: jax.Array  # (B, W)
@@ -28,7 +28,7 @@ class StreamState(NamedTuple):
 
 
 def init_stream_state(cfg: Qwen3Config, batch: int, window: int, dtype=jnp.float32) -> StreamState:
-    shape = (cfg.num_hidden_layers, batch, window, cfg.num_key_value_heads, cfg.head_dim)
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, window, cfg.head_dim)
     return StreamState(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
@@ -46,7 +46,7 @@ def run_chunk(
     valid_len: jax.Array,  # scalar int32: real frames in this chunk
 ) -> Tuple[jax.Array, StreamState]:
     B, c, _ = x.shape
-    W = state.k.shape[2]
+    W = state.k.shape[3]
 
     q_pos = state.next_pos + jnp.arange(c, dtype=jnp.int32)
     q_positions = jnp.broadcast_to(q_pos[None], (B, c))
@@ -54,10 +54,10 @@ def run_chunk(
         (jnp.arange(c, dtype=jnp.int32) < valid_len)[None], (B, c)
     )
 
-    pad = jnp.zeros((cfg.num_hidden_layers, B, c) + state.k.shape[3:], state.k.dtype)
+    pad = jnp.zeros(state.k.shape[:3] + (c, state.k.shape[4]), state.k.dtype)
     cache = KVCache(
-        jnp.concatenate([state.k, pad], axis=2),
-        jnp.concatenate([state.v, pad], axis=2),
+        jnp.concatenate([state.k, pad], axis=3),
+        jnp.concatenate([state.v, pad], axis=3),
     )
     kv_positions = jnp.concatenate([state.positions, q_positions], axis=1)
     kv_valid = jnp.concatenate([state.valid, chunk_valid], axis=1)
@@ -72,8 +72,8 @@ def run_chunk(
         attn_window=W,
     )
     # Keep the most recent `window` slots: [valid_len : valid_len + W).
-    new_k = jax.lax.dynamic_slice_in_dim(cache.k, valid_len, W, axis=2)
-    new_v = jax.lax.dynamic_slice_in_dim(cache.v, valid_len, W, axis=2)
+    new_k = jax.lax.dynamic_slice_in_dim(cache.k, valid_len, W, axis=3)
+    new_v = jax.lax.dynamic_slice_in_dim(cache.v, valid_len, W, axis=3)
     new_positions = jax.lax.dynamic_slice_in_dim(kv_positions, valid_len, W, axis=1)
     # Padded chunk slots carry chunk_valid == False and stay masked.
     new_valid = jax.lax.dynamic_slice_in_dim(kv_valid, valid_len, W, axis=1)

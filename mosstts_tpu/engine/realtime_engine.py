@@ -186,11 +186,11 @@ class RealtimeEngine:
             )
         pad = new_len - self.cache_len
         st = self.state
-        kpad = jnp.zeros(st.cache.k.shape[:2] + (pad,) + st.cache.k.shape[3:], st.cache.k.dtype)
+        kpad = jnp.zeros(st.cache.k.shape[:3] + (pad, st.cache.k.shape[4]), st.cache.k.dtype)
         self.state = st._replace(
             cache=KVCache(
-                jnp.concatenate([st.cache.k, kpad], axis=2),
-                jnp.concatenate([st.cache.v, kpad], axis=2),
+                jnp.concatenate([st.cache.k, kpad], axis=3),
+                jnp.concatenate([st.cache.v, kpad], axis=3),
             ),
             kv_valid=jnp.concatenate(
                 [st.kv_valid, jnp.zeros((st.kv_valid.shape[0], pad), jnp.bool_)], axis=1

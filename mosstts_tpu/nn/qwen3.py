@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..core.config import Qwen3Config
 from ..ops.basic import apply_rope, dense, rms_norm, rope_cos_sin, swiglu
-from ..ops.attention import gqa_attention
+from ..ops.attention import gqa_attention, gqa_attention_kvmajor
 
 # Pallas flash attention: used for prefill on TPU (fewer HBM round-trips AND
 # ~200x faster XLA compiles than the einsum path). Gated by backend + shape.
@@ -46,17 +46,42 @@ def _flash_ok(T: int, hd: int, H: int, KV: int) -> bool:
     )
 
 
+def _decode_ok(a_len: int, hd: int, H: int, KV: int) -> bool:
+    """Gate for the Pallas flash-decode kernel (single-token cache read).
+    MOSSTTS_NO_DECODE_KERNEL=1 forces the einsum path (A/B benchmarking)."""
+    import os
+
+    if os.environ.get("MOSSTTS_NO_DECODE_KERNEL", ""):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return (
+        backend not in ("cpu",)
+        and hd % 128 == 0
+        and H % KV == 0
+        and (a_len % 256 == 0 or a_len <= 256)
+    )
+
+
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, S, KV, hd)
-    v: jax.Array  # (L, B, S, KV, hd)
+    """Layer-stacked KV cache, laid out (L, B, KV, S, hd): the trailing
+    (S, hd) dims form clean (tile, 128) TPU tiles, so the Pallas decode
+    kernel (ops/pallas/decode_attn.py) streams per-head token tiles at full
+    HBM bandwidth and the flash prefill kernel consumes cache reads without
+    a transpose."""
+
+    k: jax.Array  # (L, B, KV, S, hd)
+    v: jax.Array  # (L, B, KV, S, hd)
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -123,12 +148,15 @@ def qwen3_forward(
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # (B, T, hd)
 
     offset_per_row = jnp.ndim(cache_offset) == 1
+    # linear_slots: cache slot index == absolute position (the default
+    # layout); ring/sliding-window callers pass kv_positions explicitly.
+    linear_slots = kv_positions is None
     # Flash kernel requires the linear slot==position layout (default),
     # contiguous batch-uniform q positions; ring-cache callers pass
     # kv_positions explicitly and per-row-cursor callers pass (B,) offsets —
     # both keep the einsum path. When there is no cache, slots are exactly
     # q positions only if the q block starts at position 0.
-    use_flash = kv_positions is None and not offset_per_row and _flash_ok(T, hd, H, KV)
+    use_flash = linear_slots and not offset_per_row and _flash_ok(T, hd, H, KV)
 
     if kv_positions is None:
         if cache is not None:
@@ -156,13 +184,27 @@ def qwen3_forward(
             k = apply_rope(k, cos, sin)
         return q, k, v
 
-    def attend(lp, hidden, q, k_all, v_all):
+    def ffn(lp, hidden, attn):
+        hidden = hidden + dense(attn, lp["wo"])
+        x = rms_norm(hidden, lp["ln2"], eps)
+        return hidden + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
+
+    def attend(lp, hidden, q, k_all, v_all, kv_major: bool):
         if use_flash:
             from ..ops.pallas.flash import flash_attention
 
             attn = flash_attention(
                 q, k_all, v_all, kv_valid_a, positions[0, 0],
-                scale=scale, window=attn_window,
+                scale=scale, window=attn_window, kv_major=kv_major,
+            ).reshape(B, T, H * hd)
+        elif kv_major:
+            attn = gqa_attention_kvmajor(
+                q, k_all, v_all,
+                q_positions=positions,
+                kv_positions=kv_positions,
+                kv_valid=kv_valid_a,
+                scale=scale,
+                window=attn_window,
             ).reshape(B, T, H * hd)
         else:
             attn = gqa_attention(
@@ -173,42 +215,64 @@ def qwen3_forward(
                 scale=scale,
                 window=attn_window,
             ).reshape(B, T, H * hd)
-        hidden = hidden + dense(attn, lp["wo"])
-        x = rms_norm(hidden, lp["ln2"], eps)
-        return hidden + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
+        return ffn(lp, hidden, attn)
 
     if cache is not None:
-        # The full (L, B, S, KV, hd) cache rides the scan CARRY: per-layer
+        # The full (L, B, KV, S, hd) cache rides the scan CARRY: per-layer
         # updates are tiny in-place dynamic_update_slices and attention
         # reads only the attended slice. (Passing per-layer cache through
         # scan xs/ys makes XLA materialize a full cache copy every step —
         # ~2x HBM traffic at serving batch sizes.)
         S = cache.max_len
         a_len = attend_len if (attend_len is not None and attend_len < S) else S
+        # Pallas flash-decode for the single-token step: streams the cache
+        # tiles once per KV head (no per-layer dynamic_slice copy, no fp32
+        # cast traffic). Causality rides kv_valid alone, so it needs the
+        # linear slot layout and no sliding window.
+        use_decode_kernel = (
+            T == 1 and linear_slots and attn_window is None
+            and _decode_ok(a_len, hd, H, KV)
+        )
 
         if offset_per_row:
-            b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, T))
-            s_idx = cache_offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            b_idx3 = jnp.arange(B, dtype=jnp.int32)[:, None, None]  # (B,1,1)
+            kv_idx3 = jnp.arange(KV, dtype=jnp.int32)[None, :, None]  # (1,KV,1)
+            s_idx3 = (cache_offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :])[
+                :, None, :
+            ]  # (B,1,T)
 
         def layer(carry, xs):
             hidden, kf, vf = carry
             lp, li = xs
             q, k, v = qkv(lp, hidden)
+            kt = jnp.swapaxes(k, 1, 2)  # (B, KV, T, hd)
+            vt = jnp.swapaxes(v, 1, 2)
             if offset_per_row:
-                kf = kf.at[li, b_idx, s_idx].set(k.astype(kf.dtype), mode="drop")
-                vf = vf.at[li, b_idx, s_idx].set(v.astype(vf.dtype), mode="drop")
+                kf = kf.at[li, b_idx3, kv_idx3, s_idx3].set(
+                    kt.astype(kf.dtype), mode="drop")
+                vf = vf.at[li, b_idx3, kv_idx3, s_idx3].set(
+                    vt.astype(vf.dtype), mode="drop")
             else:
                 kf = jax.lax.dynamic_update_slice(
-                    kf, k.astype(kf.dtype)[None], (li, 0, cache_offset, 0, 0)
+                    kf, kt.astype(kf.dtype)[None], (li, 0, 0, cache_offset, 0)
                 )
                 vf = jax.lax.dynamic_update_slice(
-                    vf, v.astype(vf.dtype)[None], (li, 0, cache_offset, 0, 0)
+                    vf, vt.astype(vf.dtype)[None], (li, 0, 0, cache_offset, 0)
                 )
-            k_all = jax.lax.dynamic_slice(
-                kf, (li, 0, 0, 0, 0), (1, B, a_len, KV, hd))[0]
-            v_all = jax.lax.dynamic_slice(
-                vf, (li, 0, 0, 0, 0), (1, B, a_len, KV, hd))[0]
-            hidden = attend(lp, hidden, q, k_all, v_all)
+            if use_decode_kernel:
+                from ..ops.pallas.decode_attn import decode_attention
+
+                attn = decode_attention(
+                    q[:, 0], kf, vf, kv_valid_a, li,
+                    scale=scale, attend_len=a_len,
+                ).reshape(B, 1, H * hd)
+                hidden = ffn(lp, hidden, attn)
+            else:
+                k_all = jax.lax.dynamic_slice(
+                    kf, (li, 0, 0, 0, 0), (1, B, KV, a_len, hd))[0]
+                v_all = jax.lax.dynamic_slice(
+                    vf, (li, 0, 0, 0, 0), (1, B, KV, a_len, hd))[0]
+                hidden = attend(lp, hidden, q, k_all, v_all, kv_major=True)
             return (hidden, kf, vf), (hidden if output_hidden_states else None)
 
         L = cfg.num_hidden_layers
@@ -228,7 +292,7 @@ def qwen3_forward(
     else:
         def layer_nc(hidden, lp):
             q, k, v = qkv(lp, hidden)
-            out = attend(lp, hidden, q, k, v)
+            out = attend(lp, hidden, q, k, v, kv_major=False)
             return out, (out if output_hidden_states else None)
 
         hidden, per_layer = jax.lax.scan(layer_nc, inputs_embeds, params["layers"])

@@ -56,6 +56,47 @@ def gqa_attention(
     return out.reshape(B, Tq, H, hd).astype(q.dtype)
 
 
+def gqa_attention_kvmajor(
+    q: jax.Array,  # (B, Tq, H, hd)
+    k: jax.Array,  # (B, KV, Tk, hd) — cache layout (nn/qwen3.KVCache)
+    v: jax.Array,  # (B, KV, Tk, hd)
+    *,
+    q_positions: jax.Array,  # (B, Tq)
+    kv_positions: jax.Array,  # (B, Tk)
+    kv_valid: jax.Array,  # (B, Tk)
+    scale: float,
+    window: int | None = None,
+) -> jax.Array:
+    """``gqa_attention`` over kv-head-major k/v — the KV-cache layout —
+    avoiding a materialized transpose on the decode/cache read path."""
+    B, Tq, H, hd = q.shape
+    KV = k.shape[1]
+    G = H // KV
+
+    qf = q.astype(jnp.float32) * scale
+    # scores: (B, KV, G, Tq, Tk)
+    scores = jnp.einsum(
+        "bqkgh,bksh->bkgqs",
+        qf.reshape(B, Tq, KV, G, hd),
+        k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    rel = q_positions[:, :, None] - kv_positions[:, None, :]  # (B, Tq, Tk)
+    causal = rel >= 0
+    if window is not None:
+        causal = causal & (rel < window)
+    mask = causal & kv_valid[:, None, :]
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkgqs,bksh->bqkgh",
+        probs,
+        v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Tq, H, hd).astype(q.dtype)
+
+
 def attention_nopos(
     q: jax.Array,  # (B, T, H, hd)
     k: jax.Array,

@@ -78,11 +78,11 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "window", "block_t", "block_s"),
+    static_argnames=("scale", "window", "block_t", "block_s", "kv_major"),
 )
 def flash_attention(
     q: jax.Array,  # (B, T, H, hd)
-    k: jax.Array,  # (B, S, KV, hd)
+    k: jax.Array,  # (B, S, KV, hd); or (B, KV, S, hd) when kv_major=True
     v: jax.Array,
     kv_valid: jax.Array,  # (B, S) bool
     q_start: jax.Array | int,  # scalar: absolute position of q[:, 0]
@@ -91,9 +91,15 @@ def flash_attention(
     window: int | None = None,
     block_t: int = 128,
     block_s: int = 128,
+    kv_major: bool = False,
 ) -> jax.Array:
+    """``kv_major=True`` consumes k/v straight in the KV-cache layout
+    (nn/qwen3.KVCache: head-major), skipping the transpose."""
     B, T, H, hd = q.shape
-    S, KV = k.shape[1], k.shape[2]
+    if kv_major:
+        KV, S = k.shape[1], k.shape[2]
+    else:
+        S, KV = k.shape[1], k.shape[2]
     G = H // KV
 
     Tp = _round_up(T, block_t)
@@ -101,13 +107,19 @@ def flash_attention(
     if Tp != T:
         q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
     if Sp != S:
-        k = jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        s_axis = 2 if kv_major else 1
+        pad = [(0, 0)] * 4
+        pad[s_axis] = (0, Sp - S)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sp - S)))
 
     qt = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, Tp, hd)
-    kt = jnp.transpose(k, (0, 2, 1, 3))  # (B, KV, Sp, hd)
-    vt = jnp.transpose(v, (0, 2, 1, 3))
+    if kv_major:
+        kt, vt = k, v  # already (B, KV, Sp, hd)
+    else:
+        kt = jnp.transpose(k, (0, 2, 1, 3))  # (B, KV, Sp, hd)
+        vt = jnp.transpose(v, (0, 2, 1, 3))
     valid8 = kv_valid.astype(jnp.int8)[:, None, :]  # (B, 1, Sp)
     q_start_arr = jnp.asarray(q_start, jnp.int32).reshape(1, 1)
 

@@ -144,8 +144,8 @@ def sharding_tree(params, mesh: Mesh, specs):
 
 
 def kv_cache_spec() -> P:
-    """(L, B, S, KV, hd): batch on data, KV heads on model."""
-    return P(None, "data", None, "model", None)
+    """(L, B, KV, S, hd): batch on data, KV heads on model."""
+    return P(None, "data", "model", None, None)
 
 
 def batch_spec() -> P:

@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Decode-step cost ablation on TPU (VERDICT round-1 item 5 groundwork).
+
+Times each piece of the Delay decode step at bench shapes (batch 64,
+attend-bucket sweep) so kernel work targets the real bottleneck.
+
+IMPORTANT (axon): a single host->device->host sync costs ~37 ms over the
+remote TPU tunnel — far more than the on-device step. All timings here
+enqueue ``iters`` calls back-to-back and sync ONCE (the same pipelined
+pattern the bench and the engines use); per-call time = elapsed / iters.
+A "sync_rtt_ms" measurement of a trivial program is reported so absolute
+numbers can be read against the tunnel floor.
+
+Run solo on the TPU (no PALLAS_AXON_POOL_IPS override). Prints a JSON report.
+"""
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg):
+    print(f"profile: {msg}", file=sys.stderr, flush=True)
+
+
+def timeit_pipelined(fn, iters=50, warmup=3, sync=None, chain=False, state=None):
+    """Enqueue iters calls, one sync at the end; returns (ms/call, last_out).
+
+    chain=True: fn(state) -> state (donating step fns chain the carry).
+    chain=False: fn() called repeatedly (idempotent program)."""
+    get = sync or (lambda o: jax.tree.leaves(o)[0].ravel()[:1])
+    if chain:
+        for _ in range(warmup):
+            state = fn(state)
+        jax.device_get(get(state))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = fn(state)
+        jax.device_get(get(state))
+        return (time.perf_counter() - t0) * 1000 / iters, state
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    jax.device_get(get(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.device_get(get(out))
+    return (time.perf_counter() - t0) * 1000 / iters, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", choices=["1p7b", "8b"], default="1p7b")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--prompt", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+
+    from bench import build
+    from mosstts_tpu.models.delay import (
+        _delay_sample_and_update, delay_embed, delay_forward, make_sampling,
+    )
+    from mosstts_tpu.nn.qwen3 import qwen3_forward
+
+    engine, ids, mask = build(args.size, args.batch, args.prompt, True)
+    cfg = engine.config
+    lc = cfg.language_config
+    B = args.batch
+    sampling = make_sampling()
+
+    max_new = 80
+    cache_len = ((args.prompt + max_new + 1 + 255) // 256) * 256
+    prefill = engine._get_prefill(max_new, cache_len)
+    state = prefill(engine.params, jnp.asarray(ids), jnp.asarray(mask),
+                    jax.random.PRNGKey(0), sampling)
+    jax.device_get(state.is_stopping)
+    report = {"size": args.size, "batch": B, "cache_len": cache_len,
+              "device": str(jax.devices()[0]), "iters": args.iters}
+
+    def dump():
+        log("partial: " + json.dumps(report))
+
+    # 0) tunnel sync floor: one trivial program, per-sync cost
+    tiny = jnp.zeros((8,), jnp.float32)
+    bump = jax.jit(lambda x: x + 1)
+    jax.device_get(bump(tiny))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.device_get(bump(tiny))
+    report["sync_rtt_ms"] = round((time.perf_counter() - t0) * 100, 2)
+
+    log("timing full step...")
+    step = engine._get_step(cache_len)
+    ms, state = timeit_pipelined(
+        lambda s: step(engine.params, s, sampling), iters=args.iters,
+        chain=True, state=state, sync=lambda s: s.is_stopping)
+    report["full_step_ms"] = round(ms, 3)
+    dump()
+
+    log("timing backbone only...")
+
+    @jax.jit
+    def backbone_only(params, st):
+        embeds = delay_embed(params, cfg, st.cur_ids)
+        hidden, _ = qwen3_forward(
+            params["backbone"], lc, embeds,
+            positions=st.pos[:, None].astype(jnp.int32), kv_valid=st.kv_valid,
+            cache=st.cache, cache_offset=st.pos, attend_len=cache_len)
+        return hidden
+
+    ms, _ = timeit_pipelined(
+        lambda: backbone_only(engine.params, state), iters=args.iters)
+    report["backbone_ms"] = round(ms, 3)
+    dump()
+
+    log("timing forward (backbone+heads)...")
+
+    @jax.jit
+    def fwd_only(params, st):
+        t, a, _ = delay_forward(
+            params, cfg, st.cur_ids,
+            positions=st.pos[:, None].astype(jnp.int32), kv_valid=st.kv_valid,
+            cache=st.cache, cache_offset=st.pos, attend_len=cache_len)
+        return t[:, -1], a[:, -1]
+
+    ms, (t_logits, a_logits) = timeit_pipelined(
+        lambda: fwd_only(engine.params, state), iters=args.iters)
+    report["forward_ms"] = round(ms, 3)
+    dump()
+
+    log("timing sampling tail...")
+
+    @jax.jit
+    def tail_only(st, tl, al):
+        return _delay_sample_and_update(st, cfg, sampling, 50, 25, tl, al)
+
+    ms, _ = timeit_pipelined(
+        lambda: tail_only(state, t_logits, a_logits), iters=args.iters,
+        sync=lambda s: s.is_stopping)
+    report["sample_tail_ms"] = round(ms, 3)
+    dump()
+
+    log("timing text top_k...")
+    topk = jax.jit(lambda x: jax.lax.top_k(x, 50))
+    ms, _ = timeit_pipelined(lambda: topk(t_logits), iters=args.iters)
+    report["text_topk_ms"] = round(ms, 3)
+    dump()
+
+    log("timing text head...")
+    from mosstts_tpu.ops.basic import dense
+
+    hid = jnp.zeros((B, 1, lc.hidden_size), jnp.bfloat16)
+    texthead = jax.jit(lambda h, w: dense(h, w).astype(jnp.float32))
+    ms, _ = timeit_pipelined(
+        lambda: texthead(hid, engine.params["text_head"]), iters=args.iters)
+    report["text_head_ms"] = round(ms, 3)
+    dump()
+
+    log("attend sweep...")
+    # 2048 would need a 15 GB cache at 1.7B/batch-64; free prior states as
+    # we grow so 1024 fits.
+    sweep = {}
+    for attend in (256, 512, 1024):
+        if attend > cache_len:
+            del state
+            gc.collect()
+            prefill2 = engine._get_prefill(max_new, attend)
+            state = prefill2(engine.params, jnp.asarray(ids), jnp.asarray(mask),
+                             jax.random.PRNGKey(0), sampling)
+            cl2 = attend
+        else:
+            cl2 = cache_len
+
+        @jax.jit
+        def bb(params, st, attend=min(attend, cl2)):
+            embeds = delay_embed(params, cfg, st.cur_ids)
+            hidden, _ = qwen3_forward(
+                params["backbone"], lc, embeds,
+                positions=st.pos[:, None].astype(jnp.int32), kv_valid=st.kv_valid,
+                cache=st.cache, cache_offset=st.pos, attend_len=attend)
+            return hidden
+
+        ms, _ = timeit_pipelined(lambda: bb(engine.params, state),
+                                 iters=args.iters)
+        sweep[str(attend)] = round(ms, 3)
+        dump()
+    report["backbone_attend_sweep_ms"] = sweep
+
+    kv_bytes = {a: lc.num_hidden_layers * B * int(a) * lc.num_key_value_heads
+                * lc.head_dim * 2 * 2 for a in (256, 1024)}
+    dt_ms = sweep["1024"] - sweep["256"]
+    db = kv_bytes[1024] - kv_bytes[256]
+    if dt_ms > 0:
+        report["kv_slope_implied_GBps"] = round(db / (dt_ms / 1000) / 1e9, 1)
+
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
