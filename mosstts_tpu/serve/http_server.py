@@ -11,6 +11,9 @@ serving surface is an HTTP API (gradio optional, not required):
     POST /stream        {"text", ...} -> chunked PCM16 stream (streaming
                         realtime path; headers carry sample rate + TTFA)
     GET  /metrics                     -> last synthesis metrics JSON
+    GET  /player (or /) -> in-browser Web Audio streaming player (parity
+                        with the reference realtime app's JS player,
+                        app.py:559-805)
 
 Run: python -m mosstts_tpu.serve.http_server --port 7860 [--model-path ...]
 """
@@ -81,6 +84,10 @@ class Handler(BaseHTTPRequestHandler):
             with _STATE["lock"]:
                 m = _STATE["last_metrics"]
             return self._send_json(m or {})
+        if self.path in ("/", "/player"):
+            from .web_player import PLAYER_HTML
+
+            return self._send(200, PLAYER_HTML.encode(), "text/html; charset=utf-8")
         self._send_json({"error": "not found"}, 404)
 
     # -------------------------------------------------------------- POST

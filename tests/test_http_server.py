@@ -101,3 +101,16 @@ def test_stream_with_prebuffer_and_voice_prompt(server, tmp_path):
     with _post(server + "/stream", body) as r:
         assert len(r.read()) > 0
     assert cache.hits == before + 1
+
+
+def test_player_page(server):
+    """GET /player serves the self-contained Web Audio streaming player
+    (reference app.py:559-805 parity: scheduled AudioBuffers + edge fades +
+    live TTFB/RTF)."""
+    for path in ("/player", "/"):
+        with urllib.request.urlopen(server + path, timeout=30) as r:
+            assert r.headers.get("Content-Type", "").startswith("text/html")
+            html = r.read().decode()
+        assert "AudioContext" in html
+        assert "/stream" in html and "/metrics" in html
+        assert "fadeEdges" in html  # edge-fade parity with the reference
