@@ -31,7 +31,8 @@ def log(msg):
     print(f"bench: {msg}", file=sys.stderr, flush=True)
 
 
-def build(size: str, batch: int, prompt_len: int, use_int8: bool):
+def build(size: str, batch: int, prompt_len: int, use_int8: bool,
+          kv_int8: bool = False):
     from mosstts_tpu.core.config import DelayConfig, delay_8b, qwen3_1p7b, tiny_qwen3
     from mosstts_tpu.engine.delay_engine import DelayEngine
     from mosstts_tpu.models.delay import init_delay_params
@@ -44,7 +45,7 @@ def build(size: str, batch: int, prompt_len: int, use_int8: bool):
     elif size == "1p7b":
         cfg = DelayConfig(language_config=qwen3_1p7b(), n_vq=32)
         engine = DelayEngine.random_init(seed=0, config=cfg, dtype=jnp.bfloat16,
-                                         cache_bucket=256)
+                                         cache_bucket=256, kv_quant=kv_int8)
         if use_int8:
             engine.quantize("int8")
     elif size == "8b":
@@ -54,7 +55,8 @@ def build(size: str, batch: int, prompt_len: int, use_int8: bool):
             jax.random.PRNGKey(0),
         )
         params = random_quantized_like(shapes, seed=0)  # int8 only — bf16 OOMs
-        engine = DelayEngine(params, cfg, dtype=jnp.bfloat16, cache_bucket=256)
+        engine = DelayEngine(params, cfg, dtype=jnp.bfloat16, cache_bucket=256,
+                             kv_quant=kv_int8)
     else:
         raise ValueError(size)
 
@@ -73,7 +75,8 @@ def run_size(size: str, args) -> dict:
     from mosstts_tpu.models.delay import make_sampling
 
     use_int8 = (size == "8b") or (not args.bf16 and size != "tiny")
-    engine, ids, mask = build(size, args.batch, args.prompt, use_int8)
+    engine, ids, mask = build(size, args.batch, args.prompt, use_int8,
+                              kv_int8=getattr(args, "kv_int8", False))
     sampling = make_sampling(
         text_temperature=1.7, text_top_p=0.8,
         audio_temperature=1.7, audio_top_p=0.8, audio_repetition_penalty=1.0,
@@ -127,6 +130,7 @@ def run_size(size: str, args) -> dict:
         "prefill_ms": round(1000 * prefill_run_s, 1),
         "frames_per_sec": round(frames_per_sec, 1),
         "int8": use_int8,
+        "kv_int8": bool(getattr(args, "kv_int8", False)),
     }
 
 
@@ -216,6 +220,9 @@ def main():
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--kv-int8", action="store_true", dest="kv_int8",
+                    help="int8 KV cache (QuantKVCache): halves decode "
+                         "attention HBM traffic via the q8 Pallas kernel")
     ap.add_argument("--bf16", action="store_true",
                     help="disable int8 weight-only quantization for the 1.7B "
                          "config (8B is int8-only: bf16 exceeds v5e HBM)")

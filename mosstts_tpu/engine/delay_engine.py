@@ -54,6 +54,7 @@ class DelayEngine:
         top_k_text: int = 50,
         top_k_audio: int = 25,
         hidden_out_layers: Optional[tuple] = None,
+        kv_quant: bool = False,
     ):
         self.params = params
         self.config = config
@@ -61,6 +62,9 @@ class DelayEngine:
         self.cache_bucket = cache_bucket
         self.top_k_text = top_k_text
         self.top_k_audio = top_k_audio
+        # int8 KV cache (QuantKVCache): halves the decode-attention HBM
+        # stream; near-lossless (per-token/head absmax scales)
+        self.kv_quant = kv_quant
         # per-head backbone source layers (checkpoint-level, static in jit;
         # reference modeling_moss_tts.py:236,280-289)
         self.hidden_out_layers = tuple(hidden_out_layers) if hidden_out_layers else None
@@ -75,14 +79,17 @@ class DelayEngine:
         params = init_delay_params(jax.random.PRNGKey(seed), config, dtype=dtype)
         return cls(params, config, dtype=dtype, **kw)
 
-    def quantize(self, mode: str = "int8") -> "DelayEngine":
+    def quantize(self, mode: str = "int8", kv_cache: bool = False) -> "DelayEngine":
         """Weight-only int8 serving quantization (halves decode HBM traffic);
-        embeddings/norms stay in the original dtype."""
+        embeddings/norms stay in the original dtype. ``kv_cache=True`` also
+        switches future prefills to the int8 KV cache (QuantKVCache)."""
         if mode != "int8":
             raise ValueError(f"unknown quantization mode: {mode}")
         from ..ops.quant import quantize_tree
 
         self.params = quantize_tree(self.params)
+        if kv_cache:
+            self.kv_quant = True
         self._prefill_jit.clear()
         self._step_jit.clear()
         self._device_gen_jit.clear()
@@ -90,16 +97,16 @@ class DelayEngine:
 
     # ------------------------------------------------------------------
     def _get_prefill(self, max_new: int, cache_len: int):
-        key = (max_new, cache_len, self.hidden_out_layers)
+        key = (max_new, cache_len, self.hidden_out_layers, self.kv_quant)
         if key not in self._prefill_jit:
             cfg, tkt, tka, dt = self.config, self.top_k_text, self.top_k_audio, self.dtype
-            hol = self.hidden_out_layers
+            hol, kvq = self.hidden_out_layers, self.kv_quant
             self._prefill_jit[key] = jax.jit(
                 lambda p, ids, mask, rng, s: delay_prefill(
                     p, cfg, ids, mask,
                     max_new_tokens=max_new, cache_len=cache_len, rng=rng,
                     sampling=s, top_k_text=tkt, top_k_audio=tka, dtype=dt,
-                    hidden_out_layers=hol,
+                    hidden_out_layers=hol, kv_quant=kvq,
                 )
             )
         return self._prefill_jit[key]

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import DelayConfig
-from ..nn.qwen3 import KVCache, init_kv_cache, init_qwen3_params, qwen3_forward
+from ..nn.qwen3 import (KVCache, init_kv_cache, init_quant_kv_cache,
+                        init_qwen3_params, qwen3_forward)
 from ..ops.basic import dense
 from ..ops.sampling import (
     apply_repetition_penalty_seen,
@@ -233,13 +234,18 @@ def delay_prefill(
     top_k_audio: int = 25,
     dtype=jnp.bfloat16,
     hidden_out_layers: Optional[tuple] = None,
+    kv_quant: bool = False,
 ) -> DelayGenState:
     B, T, C = input_ids.shape
     n_vq = cfg.n_vq
     Va = cfg.audio_emb_vocab
     lc = cfg.language_config
 
-    cache = init_kv_cache(lc, B, cache_len, dtype=dtype)
+    # kv_quant: int8 cache with per-token/head scales (QuantKVCache) —
+    # halves decode HBM traffic; prompt attention stays exact (the prefill
+    # attends fresh bf16 k/v, see nn/qwen3.qwen3_forward attend_fresh).
+    cache = (init_quant_kv_cache(lc, B, cache_len) if kv_quant
+             else init_kv_cache(lc, B, cache_len, dtype=dtype))
     kv_valid = jnp.zeros((B, cache_len), jnp.bool_).at[:, :T].set(attention_mask)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
 

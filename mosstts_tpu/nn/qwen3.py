@@ -85,6 +85,42 @@ def init_kv_cache(cfg: Qwen3Config, batch: int, max_len: int, dtype=jnp.bfloat16
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+class QuantKVCache(NamedTuple):
+    """int8 KV cache with one absmax scale per (layer, row, head, token):
+    halves the dominant HBM stream of batched decode (the cache read). The
+    Pallas decode kernel dequantizes by folding the scales into the
+    score/prob rows (ops/pallas/decode_attn.decode_attention_q8); prefill
+    attends the fresh bf16 k/v and only the *write* is quantized, so
+    prompt-side attention stays exact."""
+
+    k: jax.Array  # (L, B, KV, S, hd) int8
+    v: jax.Array  # (L, B, KV, S, hd) int8
+    k_scale: jax.Array  # (L, B, KV, S) f32 — the scale stream is 1/32 of the
+    v_scale: jax.Array  # values; bf16 scales trip a Mosaic concat alignment
+    #                     limit in the q8 kernel, so f32 stays
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def init_quant_kv_cache(cfg: Qwen3Config, batch: int, max_len: int) -> QuantKVCache:
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    return QuantKVCache(
+        jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+        jnp.zeros(shape[:4], jnp.float32), jnp.zeros(shape[:4], jnp.float32),
+    )
+
+
+def _quantize_kv_block(x: jax.Array):
+    """(B, KV, T, hd) -> int8 values + (B, KV, T) f32 absmax scales."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    sc = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / sc[..., None]), -127, 127)
+    return q.astype(jnp.int8), sc
+
+
 def init_qwen3_params(rng: jax.Array, cfg: Qwen3Config, dtype=jnp.float32, with_embed: bool = True):
     L, D, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
     hd = cfg.head_dim
@@ -223,6 +259,7 @@ def qwen3_forward(
         # reads only the attended slice. (Passing per-layer cache through
         # scan xs/ys makes XLA materialize a full cache copy every step —
         # ~2x HBM traffic at serving batch sizes.)
+        quant = isinstance(cache, QuantKVCache)
         S = cache.max_len
         a_len = attend_len if (attend_len is not None and attend_len < S) else S
         # Pallas flash-decode for the single-token step: streams the cache
@@ -233,6 +270,13 @@ def qwen3_forward(
             T == 1 and linear_slots and attn_window is None
             and _decode_ok(a_len, hd, H, KV)
         )
+        # Quantized-cache prefill: the prompt's attention reads the FRESH
+        # bf16 k/v (exact), only the cache *write* is int8 — valid when this
+        # forward populates a fresh cache from slot 0.
+        attend_fresh = (
+            quant and T > 1 and linear_slots and not offset_per_row
+            and isinstance(cache_offset, int) and cache_offset == 0
+        )
 
         if offset_per_row:
             b_idx3 = jnp.arange(B, dtype=jnp.int32)[:, None, None]  # (B,1,1)
@@ -241,25 +285,50 @@ def qwen3_forward(
                 :, None, :
             ]  # (B,1,T)
 
+        def write_block(buf, blk, li):
+            """Store a (B, KV, T, ...) block at the row cursors / offset."""
+            if offset_per_row:
+                return buf.at[li, b_idx3, kv_idx3, s_idx3].set(
+                    blk.astype(buf.dtype), mode="drop")
+            idx = (li, 0, 0, cache_offset) + ((0,) if blk.ndim == 4 else ())
+            return jax.lax.dynamic_update_slice(buf, blk.astype(buf.dtype)[None], idx)
+
+        def read_block(buf, li):
+            sizes = (1, B, KV, a_len) + ((hd,) if buf.ndim == 5 else ())
+            return jax.lax.dynamic_slice(buf, (li,) + (0,) * (buf.ndim - 1), sizes)[0]
+
         def layer(carry, xs):
-            hidden, kf, vf = carry
+            if quant:
+                hidden, kf, vf, ksc, vsc = carry
+            else:
+                hidden, kf, vf = carry
             lp, li = xs
             q, k, v = qkv(lp, hidden)
             kt = jnp.swapaxes(k, 1, 2)  # (B, KV, T, hd)
             vt = jnp.swapaxes(v, 1, 2)
-            if offset_per_row:
-                kf = kf.at[li, b_idx3, kv_idx3, s_idx3].set(
-                    kt.astype(kf.dtype), mode="drop")
-                vf = vf.at[li, b_idx3, kv_idx3, s_idx3].set(
-                    vt.astype(vf.dtype), mode="drop")
+            if quant:
+                kq, ks = _quantize_kv_block(kt)
+                vq, vs = _quantize_kv_block(vt)
+                kf = write_block(kf, kq, li)
+                vf = write_block(vf, vq, li)
+                ksc = write_block(ksc, ks, li)
+                vsc = write_block(vsc, vs, li)
             else:
-                kf = jax.lax.dynamic_update_slice(
-                    kf, kt.astype(kf.dtype)[None], (li, 0, 0, cache_offset, 0)
-                )
-                vf = jax.lax.dynamic_update_slice(
-                    vf, vt.astype(vf.dtype)[None], (li, 0, 0, cache_offset, 0)
-                )
-            if use_decode_kernel:
+                kf = write_block(kf, kt, li)
+                vf = write_block(vf, vt, li)
+
+            if attend_fresh:
+                # exact prompt attention over the fresh bf16 k/v
+                hidden = attend_fresh_kv(lp, hidden, q, k, v)
+            elif use_decode_kernel and quant:
+                from ..ops.pallas.decode_attn import decode_attention_q8
+
+                attn = decode_attention_q8(
+                    q[:, 0], kf, ksc, vf, vsc, kv_valid_a, li,
+                    scale=scale, attend_len=a_len,
+                ).reshape(B, 1, H * hd)
+                hidden = ffn(lp, hidden, attn)
+            elif use_decode_kernel:
                 from ..ops.pallas.decode_attn import decode_attention
 
                 attn = decode_attention(
@@ -268,19 +337,46 @@ def qwen3_forward(
                 ).reshape(B, 1, H * hd)
                 hidden = ffn(lp, hidden, attn)
             else:
-                k_all = jax.lax.dynamic_slice(
-                    kf, (li, 0, 0, 0, 0), (1, B, KV, a_len, hd))[0]
-                v_all = jax.lax.dynamic_slice(
-                    vf, (li, 0, 0, 0, 0), (1, B, KV, a_len, hd))[0]
+                k_all = read_block(kf, li)
+                v_all = read_block(vf, li)
+                if quant:
+                    k_all = k_all.astype(jnp.float32) * read_block(ksc, li)[..., None]
+                    v_all = v_all.astype(jnp.float32) * read_block(vsc, li)[..., None]
                 hidden = attend(lp, hidden, q, k_all, v_all, kv_major=True)
-            return (hidden, kf, vf), (hidden if output_hidden_states else None)
+            out_carry = (hidden, kf, vf, ksc, vsc) if quant else (hidden, kf, vf)
+            return out_carry, (hidden if output_hidden_states else None)
+
+        def attend_fresh_kv(lp, hidden, q, k, v):
+            fresh_valid = kv_valid[:, :T]
+            if _flash_ok(T, hd, H, KV):
+                from ..ops.pallas.flash import flash_attention
+
+                attn = flash_attention(
+                    q, k, v, fresh_valid, positions[0, 0],
+                    scale=scale, window=attn_window,
+                ).reshape(B, T, H * hd)
+            else:
+                attn = gqa_attention(
+                    q, k, v, q_positions=positions, kv_positions=positions,
+                    kv_valid=fresh_valid, scale=scale, window=attn_window,
+                ).reshape(B, T, H * hd)
+            return ffn(lp, hidden, attn)
 
         L = cfg.num_hidden_layers
-        (hidden, new_k, new_v), per_layer = jax.lax.scan(
-            layer, (inputs_embeds, cache.k, cache.v),
+        init_carry = (
+            (inputs_embeds, cache.k, cache.v, cache.k_scale, cache.v_scale)
+            if quant else (inputs_embeds, cache.k, cache.v)
+        )
+        carry_out, per_layer = jax.lax.scan(
+            layer, init_carry,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
-        new_cache = KVCache(new_k, new_v)
+        if quant:
+            hidden = carry_out[0]
+            new_cache = QuantKVCache(*carry_out[1:])
+        else:
+            hidden, new_k, new_v = carry_out
+            new_cache = KVCache(new_k, new_v)
         if output_hidden_states:
             hidden = rms_norm(hidden, params["final_norm"], eps)
             # HF hidden_states layout: (embeds, layer_1, ..., layer_{L-1},

@@ -93,3 +93,64 @@ def test_kvmajor_einsum_matches_original():
         q_positions=qpos, kv_positions=kvpos, kv_valid=valid,
         scale=HD ** -0.5, window=64)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
+def test_quant_kv_cache_close_to_bf16():
+    """QuantKVCache: prefill hiddens are EXACT (fresh-kv attention; only the
+    write is quantized) and decode hiddens stay close (int8 per-token/head
+    absmax scales)."""
+    from mosstts_tpu.core.config import Qwen3Config
+    from mosstts_tpu.nn.qwen3 import (
+        init_kv_cache, init_quant_kv_cache, init_qwen3_params, qwen3_forward,
+    )
+
+    cfg = Qwen3Config(hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=32, vocab_size=128)
+    params = init_qwen3_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    B, T, S = 2, 8, 32
+    x = jnp.asarray(rng.normal(size=(B, T, cfg.hidden_size)) * 0.1, jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T)).astype(jnp.int32)
+    kv_valid = jnp.zeros((B, S), bool).at[:, :T].set(True)
+
+    h_ref, c_ref = qwen3_forward(
+        params, cfg, x, positions=positions, kv_valid=kv_valid,
+        cache=init_kv_cache(cfg, B, S, dtype=jnp.float32), cache_offset=0)
+    h_q, c_q = qwen3_forward(
+        params, cfg, x, positions=positions, kv_valid=kv_valid,
+        cache=init_quant_kv_cache(cfg, B, S), cache_offset=0)
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)  # prefill is exact
+
+    # one decode step: quant path reads the int8 cache (dequant einsum on CPU)
+    x1 = jnp.asarray(rng.normal(size=(B, 1, cfg.hidden_size)) * 0.1, jnp.float32)
+    pos1 = jnp.full((B, 1), T, jnp.int32)
+    kv_valid = kv_valid.at[:, T].set(True)
+    h1_ref, _ = qwen3_forward(params, cfg, x1, positions=pos1, kv_valid=kv_valid,
+                              cache=c_ref, cache_offset=T)
+    h1_q, _ = qwen3_forward(params, cfg, x1, positions=pos1, kv_valid=kv_valid,
+                            cache=c_q, cache_offset=T)
+    a, b = np.asarray(h1_ref).ravel(), np.asarray(h1_q).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, f"quant-cache decode diverged: cos={cos}"
+
+
+def test_delay_engine_kv_quant_generates():
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.engine.delay_engine import DelayEngine
+
+    cfg = DelayConfig(language_config=tiny_qwen3(), n_vq=4)
+    eng = DelayEngine.random_init(seed=0, config=cfg, dtype=jnp.float32,
+                                  cache_bucket=64, kv_quant=True)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 200, (2, 12, cfg.channels))
+    ids[..., 1:] = rng.integers(0, 1024, (2, 12, cfg.n_vq))
+    ids[:, 2, 0] = cfg.im_start_token_id
+    ids[:, 4, 0] = cfg.audio_start_token_id
+    ids[:, -1, 0] = cfg.audio_assistant_gen_slot_token_id
+    out = eng.generate(ids, np.ones((2, 12), bool), max_new_tokens=10,
+                       text_temperature=0.0, audio_temperature=0.0)
+    _, grid = out[0]
+    assert grid.shape[1] == cfg.channels
+    assert (grid[:, 1:] <= cfg.audio_pad_code).all() and (grid[:, 1:] >= 0).all()

@@ -65,6 +65,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--kv-int8", action="store_true", dest="kv_int8")
     args = ap.parse_args()
 
     from bench import build
@@ -73,7 +74,8 @@ def main():
     )
     from mosstts_tpu.nn.qwen3 import qwen3_forward
 
-    engine, ids, mask = build(args.size, args.batch, args.prompt, True)
+    engine, ids, mask = build(args.size, args.batch, args.prompt, True,
+                              kv_int8=args.kv_int8)
     cfg = engine.config
     lc = cfg.language_config
     B = args.batch
