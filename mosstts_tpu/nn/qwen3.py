@@ -46,7 +46,7 @@ def _flash_ok(T: int, hd: int, H: int, KV: int) -> bool:
     )
 
 
-def _decode_ok(a_len: int, hd: int, H: int, KV: int) -> bool:
+def _decode_ok(B: int, a_len: int, hd: int, H: int, KV: int) -> bool:
     """Gate for the Pallas flash-decode kernel (single-token cache read).
     MOSSTTS_NO_DECODE_KERNEL=1 forces the einsum path (A/B benchmarking)."""
     import os
@@ -59,9 +59,15 @@ def _decode_ok(a_len: int, hd: int, H: int, KV: int) -> bool:
         return False
     return (
         backend not in ("cpu",)
+        # the kernel's grid is (B, S-tiles); small batches leave too few
+        # cells to pipeline and the XLA einsum wins (batch-1 realtime
+        # measured slower through the kernel)
+        and B >= 8
         and hd % 128 == 0
         and H % KV == 0
-        and (a_len % 256 == 0 or a_len <= 256)
+        # full 256-lane tiles only: odd attend lengths (e.g. the realtime
+        # depth transformer's 17-slot cache) hit Mosaic vector-cast limits
+        and a_len % 256 == 0
     )
 
 
@@ -268,7 +274,7 @@ def qwen3_forward(
         # linear slot layout and no sliding window.
         use_decode_kernel = (
             T == 1 and linear_slots and attn_window is None
-            and _decode_ok(a_len, hd, H, KV)
+            and _decode_ok(B, a_len, hd, H, KV)
         )
         # Quantized-cache prefill: the prompt's attention reads the FRESH
         # bf16 k/v (exact), only the cache *write* is int8 — valid when this
