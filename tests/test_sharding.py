@@ -89,3 +89,46 @@ def test_graft_entry_single_device():
 
     n = len(jax.devices())
     mod.dryrun_multichip(min(n, 8))
+
+
+@multi_device
+def test_delay_decode_sharded_matches_single():
+    """The SERVING path under GSPMD: prefill + greedy decode steps with the
+    engine's jitted programs over a (data, model) mesh produce the same
+    tokens as single-device — the multi-stream decode story (SURVEY §2.b:
+    streams shard on data, the backbone on model)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.models.delay import (
+        delay_decode_step, delay_prefill, init_delay_params, make_sampling,
+    )
+    from mosstts_tpu.parallel.mesh import delay_param_specs, make_mesh, shard_params
+
+    cfg = DelayConfig(language_config=tiny_qwen3(vocab_size=512), n_vq=8)
+    params = init_delay_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    sampling = make_sampling(text_temperature=0, audio_temperature=0)  # greedy
+    rng = np.random.default_rng(2)
+    B, T = 4, 10
+    ids = rng.integers(0, 500, (B, T, cfg.channels))
+    ids[:, 2, 0] = cfg.im_start_token_id
+    ids[:, 4, 0] = cfg.audio_start_token_id
+    ids[:, -1, 0] = cfg.audio_assistant_gen_slot_token_id
+    ids_j = jnp.asarray(ids)
+    mask = jnp.ones((B, T), jnp.bool_)
+
+    def run(p, ids_in, mask_in):
+        st = delay_prefill(p, cfg, ids_in, mask_in, max_new_tokens=8,
+                           cache_len=64, rng=jax.random.PRNGKey(3),
+                           sampling=sampling, dtype=jnp.float32)
+        for _ in range(6):
+            st = delay_decode_step(p, cfg, st, sampling, attend_len=64)
+        return st.out
+
+    out_ref = np.asarray(jax.jit(run)(params, ids_j, mask))
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = shard_params(params, mesh, delay_param_specs())
+    ids_sh = jax.device_put(ids_j, NamedSharding(mesh, P("data")))
+    mask_sh = jax.device_put(mask, NamedSharding(mesh, P("data")))
+    out_sh = np.asarray(jax.jit(run)(sharded, ids_sh, mask_sh))
+    np.testing.assert_array_equal(out_ref, out_sh)
