@@ -93,7 +93,11 @@ def run_size(size: str, args) -> dict:
     state = prefill(engine.params, ids_j, mask_j, jax.random.PRNGKey(0), sampling)
     jax.device_get(state.is_stopping)
     prefill_compile_s = time.perf_counter() - t0
-    # second call isolates steady-state prefill latency from compile time
+    # second call isolates steady-state prefill latency from compile time;
+    # drop the first state FIRST — two live multi-GB KV caches OOM the chip
+    # at long attend lengths
+    del state
+    gc.collect()
     t0 = time.perf_counter()
     state = prefill(engine.params, ids_j, mask_j, jax.random.PRNGKey(0), sampling)
     jax.device_get(state.is_stopping)

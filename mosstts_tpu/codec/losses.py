@@ -98,16 +98,34 @@ def codec_forward_train(params, cfg: CodecConfig, wav: jax.Array,
     return recon, {"commitment": commitment, "codebook": codebook_loss}
 
 
+def si_snr_loss(est: jax.Array, ref: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Negative scale-invariant SNR in dB, batch mean — the differentiable
+    counterpart of train.si_snr. Magnitude-STFT losses alone leave the
+    reconstruction phase-incoherent (spectra match, waveforms do not);
+    this term makes the decoder time-align its output."""
+    est = est - jnp.mean(est, axis=-1, keepdims=True)
+    ref = ref - jnp.mean(ref, axis=-1, keepdims=True)
+    proj = (jnp.sum(est * ref, axis=-1, keepdims=True)
+            / (jnp.sum(ref * ref, axis=-1, keepdims=True) + eps)) * ref
+    noise = est - proj
+    ratio = (jnp.sum(proj * proj, axis=-1)
+             / (jnp.sum(noise * noise, axis=-1) + eps))
+    return -jnp.mean(10.0 * jnp.log10(ratio + eps))
+
+
 def codec_loss(params, cfg: CodecConfig, wav: jax.Array,
                num_quantizers: int = 8, commit_weight: float = 0.25,
-               stft_weight: float = 1.0, l1_weight: float = 1.0):
+               stft_weight: float = 1.0, l1_weight: float = 1.0,
+               snr_weight: float = 0.1):
     recon, aux = codec_forward_train(params, cfg, wav, num_quantizers)
     target = wav[:, : recon.shape[1]].astype(jnp.float32)
     reconf = recon.astype(jnp.float32)
     l1 = jnp.mean(jnp.abs(reconf - target))
     spec = multiscale_stft_loss(target, reconf)
-    total = l1_weight * l1 + stft_weight * spec + commit_weight * aux["commitment"] + aux["codebook"]
-    return total, {"l1": l1, "stft": spec, **aux}
+    neg_snr = si_snr_loss(reconf, target)
+    total = (l1_weight * l1 + stft_weight * spec + snr_weight * neg_snr
+             + commit_weight * aux["commitment"] + aux["codebook"])
+    return total, {"l1": l1, "stft": spec, "neg_si_snr_db": neg_snr, **aux}
 
 
 def codec_train_step(params, cfg: CodecConfig, wav: jax.Array, *,

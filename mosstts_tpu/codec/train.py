@@ -114,7 +114,8 @@ class CodecTrainer:
     def __init__(self, cfg: CodecConfig, *, seed: int = 0,
                  num_quantizers: Optional[int] = None,
                  peak_lr: float = 3e-4, warmup_steps: int = 500,
-                 total_steps: int = 100_000, dtype=jnp.float32):
+                 total_steps: int = 100_000, dtype=jnp.float32,
+                 snr_weight: float = 0.1):
         self.cfg = cfg
         self.num_quantizers = int(num_quantizers or cfg.n_q)
         self.params = init_codec_params(jax.random.PRNGKey(seed), cfg, dtype)
@@ -123,12 +124,13 @@ class CodecTrainer:
         self.step_idx = 0
         self.history: List[Dict[str, float]] = []
 
-        nq, tx = self.num_quantizers, self.tx
+        nq, tx, sw = self.num_quantizers, self.tx, float(snr_weight)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _step(params, opt_state, wav):
             (loss, aux), grads = jax.value_and_grad(
-                lambda p: codec_loss(p, cfg, wav, num_quantizers=nq),
+                lambda p: codec_loss(p, cfg, wav, num_quantizers=nq,
+                                     snr_weight=sw),
                 has_aux=True,
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -197,6 +199,9 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--n-q", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--snr-weight", type=float, default=0.1,
+                    help="weight of the differentiable -SI-SNR term (time "
+                         "alignment; magnitude STFT alone is phase-blind)")
     ap.add_argument("--save", default=None)
     args = ap.parse_args(argv)
 
@@ -209,7 +214,7 @@ def main(argv=None):
     )
     trainer = CodecTrainer(cfg, num_quantizers=args.n_q, peak_lr=args.lr,
                            warmup_steps=max(1, args.steps // 10),
-                           total_steps=args.steps)
+                           total_steps=args.steps, snr_weight=args.snr_weight)
     data = synthetic_data_iter(0, args.batch, args.seconds, cfg.sampling_rate)
     eval_wav = synthetic_audio_batch(np.random.default_rng(99), 2, args.seconds,
                                      cfg.sampling_rate)
