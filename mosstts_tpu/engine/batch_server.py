@@ -29,7 +29,7 @@ from ..models.delay import (
     delay_prefill,
     make_sampling,
 )
-from ..nn.qwen3 import init_kv_cache
+from ..nn.qwen3 import init_kv_cache, init_quant_kv_cache
 from .delay_engine import attend_bucket
 
 
@@ -54,10 +54,11 @@ def _insert_row(big: DelayGenState, small: DelayGenState, row: int) -> DelayGenS
     batch (all per-row fields + the slot's cache lane)."""
     r = row
     return DelayGenState(
-        cache=type(big.cache)(
-            big.cache.k.at[:, r].set(small.cache.k[:, 0]),
-            big.cache.v.at[:, r].set(small.cache.v[:, 0]),
-        ),
+        # fieldwise splice works for KVCache and QuantKVCache alike (every
+        # cache field has B on axis 1)
+        cache=type(big.cache)(*(
+            bf.at[:, r].set(sf[:, 0]) for bf, sf in zip(big.cache, small.cache)
+        )),
         kv_valid=big.kv_valid.at[r].set(small.kv_valid[0]),
         cur_ids=big.cur_ids.at[r].set(small.cur_ids[0]),
         pos=big.pos.at[r].set(small.pos[0]),
@@ -91,6 +92,7 @@ class DelayBatchServer:
         sampling: Optional[DelaySampling] = None,
         top_k_text: int = 50,
         top_k_audio: int = 25,
+        kv_quant: bool = False,
     ):
         self.params = params
         self.config = config
@@ -102,6 +104,9 @@ class DelayBatchServer:
         self.sampling = sampling or make_sampling()
         self.top_k_text = top_k_text
         self.top_k_audio = top_k_audio
+        # int8 KV cache for the running batch AND per-request prefills
+        # (halves the dominant long-context HBM stream; see docs/PROFILE.md)
+        self.kv_quant = kv_quant
 
         self._jit: Dict[Any, Any] = {}
         self._ids = itertools.count()
@@ -115,7 +120,9 @@ class DelayBatchServer:
         B, C = self.slots, self.config.channels
         Va = self.config.audio_emb_vocab
         return DelayGenState(
-            cache=init_kv_cache(self.config.language_config, B, self.cache_len, self.dtype),
+            cache=(init_quant_kv_cache(self.config.language_config, B, self.cache_len)
+                   if self.kv_quant else
+                   init_kv_cache(self.config.language_config, B, self.cache_len, self.dtype)),
             kv_valid=jnp.zeros((B, self.cache_len), jnp.bool_),
             cur_ids=jnp.zeros((B, 1, C), jnp.int32),
             pos=jnp.zeros((B,), jnp.int32),
@@ -135,11 +142,12 @@ class DelayBatchServer:
         if key not in self._jit:
             cfg, s, tkt, tka, dt = (self.config, self.sampling, self.top_k_text,
                                     self.top_k_audio, self.dtype)
-            cl, oc = self.cache_len, self.out_capacity
+            cl, oc, kvq = self.cache_len, self.out_capacity, self.kv_quant
             self._jit[key] = jax.jit(
                 lambda p, ids, mask, rng: delay_prefill(
                     p, cfg, ids, mask, max_new_tokens=oc, cache_len=cl, rng=rng,
                     sampling=s, top_k_text=tkt, top_k_audio=tka, dtype=dt,
+                    kv_quant=kvq,
                 )
             )
         return self._jit[key]

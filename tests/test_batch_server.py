@@ -77,3 +77,23 @@ def test_slot_reuse_isolation(setup):
     a = next(c for c in out1 if c.request_id == r1)
     b = next(c for c in out2 if c.request_id == r2)
     np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_batch_server_kv_quant_runs():
+    """Continuous batching over the int8 KV cache (QuantKVCache): the
+    fieldwise slot splice and the quant decode path must compose."""
+    params = init_delay_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    proc = DelayProcessor(ByteFallbackTokenizer(), None, CFG)
+    server = DelayBatchServer(
+        params, CFG, slots=2, cache_len=256, out_capacity=32,
+        prompt_bucket=32, dtype=jnp.float32, kv_quant=True,
+        sampling=make_sampling(text_temperature=0.0, audio_temperature=0.0),
+    )
+    grids = [_continuation_grid(proc, f"quant text {i}", seed=10 + i)
+             for i in range(3)]
+    rids = [server.submit(g, max_new_tokens=12) for g in grids]
+    done = server.run(max_steps=200)
+    assert sorted(c.request_id for c in done) == sorted(rids)
+    for c in done:
+        assert c.tokens.shape[1] == CFG.channels
+        assert np.isfinite(c.tokens).all()
