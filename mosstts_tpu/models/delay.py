@@ -102,6 +102,7 @@ def delay_forward(
     attend_len: Optional[int] = None,
     hidden_out_layers: Optional[list] = None,
     logits_len: Optional[int] = None,
+    text_lazy: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Optional[KVCache]]:
     """Returns (text_logits (B,T,V), audio_logits (B,T,n_vq,Va), cache).
     The last audio vocab index (== pad code) is masked to -inf, matching
@@ -116,7 +117,13 @@ def delay_forward(
     the text head, entries 1..n_vq the audio heads; indices follow HF
     hidden_states (0 = embeddings, -1 = post-final-norm last layer).
     Supported on both the cached (decode) and uncached paths — the backbone
-    scan emits per-layer hiddens as scan outputs."""
+    scan emits per-layer hiddens as scan outputs.
+
+    ``text_lazy=True`` returns the text head's SOURCE hidden state (B, T, D)
+    in place of text logits — the decode step then computes the 152k-vocab
+    projection only when some batch row actually samples free text
+    (inside audio blocks the channel is restricted to the gen/delay slot
+    pair; see _sample_text_lazy)."""
     embeds = delay_embed(params, cfg, ids)
     if hidden_out_layers is not None:
         from ..ops.quant import QuantWeight
@@ -133,7 +140,10 @@ def delay_forward(
         )
         if logits_len is not None:
             all_hs = all_hs[:, :, -logits_len:]
-        text_logits = dense(all_hs[idxs[0]], params["text_head"]).astype(jnp.float32)
+        if text_lazy:
+            text_out = all_hs[idxs[0]]
+        else:
+            text_out = dense(all_hs[idxs[0]], params["text_head"]).astype(jnp.float32)
         # gather the per-head source hiddens once, then one batched einsum
         # over heads (the reference loops 33 nn.Linear's, :294-303)
         audio_hs = all_hs[jnp.asarray(idxs[1:], jnp.int32)]  # (n_vq, B, T, D)
@@ -149,7 +159,7 @@ def delay_forward(
                 preferred_element_type=jnp.float32,
             )
         audio_logits = audio_logits.at[..., -1].set(NEG_INF)
-        return text_logits, audio_logits, cache
+        return text_out, audio_logits, cache
     hidden, cache = qwen3_forward(
         params["backbone"], cfg.language_config, embeds,
         positions=positions, kv_valid=kv_valid, cache=cache, cache_offset=cache_offset,
@@ -157,10 +167,13 @@ def delay_forward(
     )
     if logits_len is not None:
         hidden = hidden[:, -logits_len:]
-    text_logits = dense(hidden, params["text_head"]).astype(jnp.float32)
+    if text_lazy:
+        text_out = hidden
+    else:
+        text_out = dense(hidden, params["text_head"]).astype(jnp.float32)
     audio_logits = _audio_head_logits(hidden, params["audio_heads"])
     audio_logits = audio_logits.at[..., -1].set(NEG_INF)
-    return text_logits, audio_logits, cache
+    return text_out, audio_logits, cache
 
 
 # --------------------------------------------------------------------------
@@ -294,30 +307,28 @@ def delay_prefill(
     )
 
 
-def _delay_sample_and_update(
-    state: DelayGenState, cfg: DelayConfig, s: DelaySampling,
-    top_k_text: int, top_k_audio: int,
-    text_logits: jax.Array,  # (B, V)
-    audio_logits: jax.Array,  # (B, n_vq, Va)
-) -> DelayGenState:
-    """One iteration of the delay state machine given this step's logits
-    (reference generate :451-513)."""
-    B = text_logits.shape[0]
+def _text_preds(state: DelayGenState, cfg: DelayConfig):
+    """State-machine predicates for the text channel — computable BEFORE any
+    logits exist (reference generate :438-464 boolean masks)."""
     n_vq = cfg.n_vq
-    V = text_logits.shape[-1]
-    Va = audio_logits.shape[-1]
-    rng, k_text, k_audio = jax.random.split(state.rng, 3)
-
-    text_logits = text_logits / s.text_temperature
-    audio_logits = audio_logits / s.audio_temperature
-
-    # ---- text channel -----------------------------------------------------
     not_stop = ~state.is_stopping
     forced_delay = not_stop & (state.delayed < n_vq)
     forced_end = not_stop & (state.delayed == n_vq)
     sampling_text = not_stop & (state.delayed > n_vq)  # SENTINEL > n_vq
     is_audio = jnp.where(forced_end, False, state.is_audio)
+    first_step = state.step == 0  # per-row step counters
+    early = state.step <= n_vq
+    return (not_stop, forced_delay, forced_end, sampling_text, is_audio,
+            first_step, early)
 
+
+def _sample_text_full(
+    k_text, cfg: DelayConfig, s: DelaySampling, top_k_text: int,
+    text_logits: jax.Array,  # (B, V), already temperature-scaled
+    is_audio, first_step, early,
+) -> jax.Array:
+    """Masked full-vocab text sampling (reference generate :451-473)."""
+    V = text_logits.shape[-1]
     vocab_ids = jnp.arange(V, dtype=jnp.int32)
     excl0 = (
         (vocab_ids == cfg.pad_token_id)
@@ -330,18 +341,105 @@ def _delay_sample_and_update(
     )
     mask_non_audio = excl0[None, :] & ~is_audio[:, None]
     mask_audio = (~allow1)[None, :] & is_audio[:, None]
-    first_step = (state.step == 0)[:, None]  # (B, 1): per-row step counters
-    early = (state.step <= n_vq)[:, None]
-    mask_first = first_step & (vocab_ids == cfg.audio_assistant_delay_slot_token_id)[None, :]
-    mask_early = early & (vocab_ids == cfg.im_end_token_id)[None, :]
+    mask_first = first_step[:, None] & (
+        vocab_ids == cfg.audio_assistant_delay_slot_token_id)[None, :]
+    mask_early = early[:, None] & (vocab_ids == cfg.im_end_token_id)[None, :]
     text_logits = jnp.where(
         mask_non_audio | mask_audio | mask_first | mask_early, NEG_INF, text_logits
     )
-
-    sampled_text = sample_topk_topp(
+    return sample_topk_topp(
         k_text, text_logits, top_k=top_k_text, top_p=s.text_top_p,
         do_sample=s.text_do_sample,
     )
+
+
+def _sample_text_lazy(
+    k_text, cfg: DelayConfig, s: DelaySampling, top_k_text: int,
+    hidden: jax.Array,  # (B, D) text-head source hidden
+    text_head,  # (D, V) weight, possibly QuantWeight
+    sampling_text, is_audio, first_step, early,
+) -> jax.Array:
+    """Text sampling with the 152k-vocab head behind a ``lax.cond``: inside
+    audio blocks the channel is restricted to the {gen_slot, delay_slot}
+    pair (reference mask, :461-464), so when NO batch row samples free text
+    a 2-column head projection replaces the full GEMV + top-k. Identical
+    greedy tokens and identical sampling distribution (all other lanes are
+    -inf in the full path).
+
+    MEASURED NET LOSS on v5e, kept only as an option: the conditional
+    serializes a region XLA otherwise overlaps with the audio heads and
+    sampling, costing ~0.5-0.8 ms/step MORE than the skipped head saves
+    (1.7B 10.84 -> 11.34 ms, 8B 21.74 -> 22.51 ms at batch 64). The decode
+    step therefore computes the full text logits eagerly; pass
+    ``text_head`` to _delay_sample_and_update to opt in."""
+    from ..ops.quant import QuantWeight
+
+    need_full = jnp.any(sampling_text & ~is_audio)
+    # vocab-ascending order preserves argmax tie-breaking vs the full path
+    ids2 = sorted((cfg.audio_assistant_gen_slot_token_id,
+                   cfg.audio_assistant_delay_slot_token_id))
+    delay_col = ids2.index(cfg.audio_assistant_delay_slot_token_id)
+    ids2_arr = jnp.asarray(ids2, jnp.int32)
+
+    def full(h):
+        logits = dense(h, text_head).astype(jnp.float32) / s.text_temperature
+        return _sample_text_full(k_text, cfg, s, top_k_text, logits,
+                                 is_audio, first_step, early)
+
+    def cheap(h):
+        if isinstance(text_head, QuantWeight):
+            w2 = text_head.q[:, ids2_arr].astype(h.dtype)
+            logits2 = jnp.dot(h, w2, preferred_element_type=jnp.float32)
+            logits2 = logits2 * text_head.scale[ids2_arr]
+        else:
+            logits2 = jnp.dot(h, text_head[:, ids2_arr],
+                              preferred_element_type=jnp.float32)
+        # replicate dense()'s dtype round-trip so logits match bit-for-bit
+        logits2 = logits2.astype(h.dtype).astype(jnp.float32) / s.text_temperature
+        logits2 = jnp.where(
+            first_step[:, None]
+            & (jnp.arange(2) == delay_col)[None, :], NEG_INF, logits2)
+        choice = sample_topk_topp(
+            k_text, logits2, top_k=2, top_p=s.text_top_p,
+            do_sample=s.text_do_sample,
+        )
+        return jnp.take(ids2_arr, choice)
+
+    return jax.lax.cond(need_full, full, cheap, hidden)
+
+
+def _delay_sample_and_update(
+    state: DelayGenState, cfg: DelayConfig, s: DelaySampling,
+    top_k_text: int, top_k_audio: int,
+    text_logits: jax.Array,  # (B, V); or (B, D) hidden when text_head given
+    audio_logits: jax.Array,  # (B, n_vq, Va)
+    text_head=None,
+) -> DelayGenState:
+    """One iteration of the delay state machine given this step's logits
+    (reference generate :451-513). When ``text_head`` is passed,
+    ``text_logits`` is the head's SOURCE hidden and the full projection is
+    deferred behind a cond (see _sample_text_lazy)."""
+    B = text_logits.shape[0]
+    n_vq = cfg.n_vq
+    Va = audio_logits.shape[-1]
+    rng, k_text, k_audio = jax.random.split(state.rng, 3)
+
+    audio_logits = audio_logits / s.audio_temperature
+
+    # ---- text channel -----------------------------------------------------
+    (not_stop, forced_delay, forced_end, sampling_text, is_audio,
+     first_step, early) = _text_preds(state, cfg)
+
+    if text_head is not None:
+        sampled_text = _sample_text_lazy(
+            k_text, cfg, s, top_k_text, text_logits, text_head,
+            sampling_text, is_audio, first_step, early,
+        )
+    else:
+        sampled_text = _sample_text_full(
+            k_text, cfg, s, top_k_text, text_logits / s.text_temperature,
+            is_audio, first_step, early,
+        )
     next_text = jnp.full((B,), cfg.pad_token_id, jnp.int32)
     next_text = jnp.where(sampling_text, sampled_text, next_text)
     next_text = jnp.where(forced_delay, cfg.audio_assistant_delay_slot_token_id, next_text)

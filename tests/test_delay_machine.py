@@ -234,3 +234,50 @@ def test_repetition_penalty_cross_batch_mode():
     exact = run(True)
     assert (exact[0] == 3).all()
     assert (exact[1] == 3).all()        # union over batch penalizes row 1 too
+
+
+def test_lazy_text_sampling_matches_full_path():
+    """decode-step text sampling with the head behind lax.cond
+    (_sample_text_lazy) must produce the same greedy tokens as projecting
+    the full 152k-vocab logits — both in audio blocks (2-column branch) and
+    in free text (full branch)."""
+    import jax
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.models.delay import (
+        _delay_sample_and_update, delay_forward, delay_prefill,
+        init_delay_params, make_sampling,
+    )
+
+    cfg = DelayConfig(language_config=tiny_qwen3(), n_vq=4)
+    params = init_delay_params(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    sampling = make_sampling(text_temperature=0, audio_temperature=0)
+    rng = np.random.default_rng(7)
+    B, T = 3, 12
+    ids = rng.integers(0, 500, (B, T, cfg.channels))
+    ids[:, 2, 0] = cfg.im_start_token_id
+    ids[:, 4, 0] = cfg.audio_start_token_id
+    # row 0/1 in an open audio block (cheap branch); row 2 free text
+    ids[:2, -1, 0] = cfg.audio_assistant_gen_slot_token_id
+    mask = np.ones((B, T), bool)
+
+    state = delay_prefill(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                          max_new_tokens=8, cache_len=64,
+                          rng=jax.random.PRNGKey(1), sampling=sampling,
+                          dtype=jnp.float32)
+    for _ in range(5):
+        positions = state.pos[:, None].astype(jnp.int32)
+        hidden, audio_logits, cache = delay_forward(
+            params, cfg, state.cur_ids, positions=positions,
+            kv_valid=state.kv_valid, cache=state.cache,
+            cache_offset=state.pos, attend_len=64, text_lazy=True)
+        text_logits = jnp.einsum("btd,dv->btv", hidden,
+                                 params["text_head"]).astype(jnp.float32)
+        st = state._replace(cache=cache, pos=state.pos + 1)
+        st_lazy = _delay_sample_and_update(
+            st, cfg, sampling, 50, 25, hidden[:, -1], audio_logits[:, -1],
+            text_head=params["text_head"])
+        st_full = _delay_sample_and_update(
+            st, cfg, sampling, 50, 25, text_logits[:, -1], audio_logits[:, -1])
+        np.testing.assert_array_equal(
+            np.asarray(st_lazy.cur_ids), np.asarray(st_full.cur_ids))
+        state = st_lazy
