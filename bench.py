@@ -75,8 +75,13 @@ def run_size(size: str, args) -> dict:
     from mosstts_tpu.models.delay import make_sampling
 
     use_int8 = (size == "8b") or (not args.bf16 and size != "tiny")
-    engine, ids, mask = build(size, args.batch, args.prompt, use_int8,
-                              kv_int8=getattr(args, "kv_int8", False))
+    batch = args.batch if args.batch else (128 if size in ("1p7b", "8b") else 64)
+    # the 8B flagship's bf16 KV cache exceeds HBM beyond batch ~64; the
+    # serving config at batch 128 uses the int8 cache (QuantKVCache)
+    kv_int8 = getattr(args, "kv_int8", False) or (size == "8b" and batch > 64)
+    args = argparse.Namespace(**{**vars(args), "batch": batch})
+    engine, ids, mask = build(size, batch, args.prompt, use_int8,
+                              kv_int8=kv_int8)
     sampling = make_sampling(
         text_temperature=1.7, text_top_p=0.8,
         audio_temperature=1.7, audio_top_p=0.8, audio_repetition_penalty=1.0,
@@ -134,7 +139,7 @@ def run_size(size: str, args) -> dict:
         "prefill_ms": round(1000 * prefill_run_s, 1),
         "frames_per_sec": round(frames_per_sec, 1),
         "int8": use_int8,
-        "kv_int8": bool(getattr(args, "kv_int8", False)),
+        "kv_int8": bool(kv_int8),
     }
 
 
@@ -220,7 +225,8 @@ def main():
     ap.add_argument("--size", choices=["tiny", "1p7b", "8b", "all"], default="all",
                     help="model scale; 'all' benches 1.7B then the 8B flagship")
     ap.add_argument("--tiny", action="store_true", help="alias for --size tiny")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: serving preset 128 for 1p7b/8b, 64 tiny")
     ap.add_argument("--prompt", type=int, default=128)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=8)
