@@ -1,0 +1,81 @@
+"""Unified TTS trainer: loss decreases for all three families, sharded
+training runs on the CPU mesh, and checkpoints round-trip through the
+serving loader format."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mosstts_tpu.core.config import (
+    DelayConfig, LocalConfig, RealtimeConfig, RealtimeLocalConfig, tiny_qwen3,
+)
+from mosstts_tpu.train import TTSTrainer, synthetic_tts_batch
+
+
+def _cfg(family):
+    tiny = tiny_qwen3()
+    if family == "delay":
+        return DelayConfig(language_config=tiny, n_vq=4)
+    if family == "local":
+        return LocalConfig(language_config=tiny, n_vq=4,
+                           additional_mlp_ffn_hidden_size=32,
+                           local_ffn_hidden_size=48, local_hidden_size=24,
+                           local_num_layers=2)
+    return RealtimeConfig(
+        language_config=tiny_qwen3(hidden_size=32, num_attention_heads=2,
+                                   num_key_value_heads=2, head_dim=16,
+                                   intermediate_size=64),
+        local_config=RealtimeLocalConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=2, head_dim=16,
+            rvq=4, max_position_embeddings=5),
+        rvq=4)
+
+
+@pytest.mark.parametrize("family", ["delay", "local", "realtime"])
+def test_trainer_loss_decreases(family):
+    cfg = _cfg(family)
+    trainer = TTSTrainer(family, cfg, peak_lr=3e-3, warmup_steps=2,
+                         total_steps=30)
+    rng = np.random.default_rng(0)
+    fixed = synthetic_tts_batch(family, cfg, rng, batch=2, seq=18)
+    first = trainer.train_step(fixed)["loss"]
+    for _ in range(25):
+        last = trainer.train_step(fixed)["loss"]
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, (first, last)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_sharded_runs():
+    from mosstts_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg("delay")
+    mesh = make_mesh(data=2, model=4)
+    trainer = TTSTrainer("delay", cfg, peak_lr=1e-3, warmup_steps=1,
+                         total_steps=5, mesh=mesh)
+    rng = np.random.default_rng(1)
+    rec = trainer.train_step(synthetic_tts_batch("delay", cfg, rng))
+    assert np.isfinite(rec["loss"]) and rec["grad_norm"] > 0
+
+    # first-step loss matches the unsharded trainer (GSPMD is math-neutral)
+    solo = TTSTrainer("delay", cfg, peak_lr=1e-3, warmup_steps=1, total_steps=5)
+    rng = np.random.default_rng(1)
+    rec_solo = solo.train_step(synthetic_tts_batch("delay", cfg, rng))
+    np.testing.assert_allclose(rec["loss"], rec_solo["loss"], rtol=2e-5)
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path):
+    from mosstts_tpu.utils.save import load_model
+
+    cfg = _cfg("delay")
+    trainer = TTSTrainer("delay", cfg, total_steps=3)
+    rng = np.random.default_rng(2)
+    trainer.train_step(synthetic_tts_batch("delay", cfg, rng))
+    trainer.save(str(tmp_path / "ckpt"))
+
+    params, loaded_cfg = load_model(tmp_path / "ckpt")
+    assert isinstance(loaded_cfg, DelayConfig)
+    ref_leaf = jax.tree.leaves(jax.device_get(trainer.params))[0]
+    got_leaf = jax.tree.leaves(params)[0]
+    assert ref_leaf.shape == got_leaf.shape
