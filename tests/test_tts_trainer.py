@@ -79,3 +79,28 @@ def test_trainer_checkpoint_roundtrip(tmp_path):
     ref_leaf = jax.tree.leaves(jax.device_get(trainer.params))[0]
     got_leaf = jax.tree.leaves(params)[0]
     assert ref_leaf.shape == got_leaf.shape
+
+
+def test_train_then_serve_roundtrip(tmp_path):
+    """A trainer checkpoint must come back through the serving loader and
+    decode — the full train -> save -> load -> generate lifecycle."""
+    from mosstts_tpu.engine.delay_engine import DelayEngine
+    from mosstts_tpu.utils.save import load_model
+
+    cfg = _cfg("delay")
+    trainer = TTSTrainer("delay", cfg, total_steps=3)
+    rng = np.random.default_rng(3)
+    trainer.train_step(synthetic_tts_batch("delay", cfg, rng))
+    trainer.save(str(tmp_path / "ckpt"))
+
+    params, loaded_cfg = load_model(tmp_path / "ckpt", dtype=jnp.float32)
+    engine = DelayEngine(params, loaded_cfg, dtype=jnp.float32, cache_bucket=32)
+    ids = rng.integers(0, 200, (1, 10, loaded_cfg.channels))
+    ids[0, 2, 0] = loaded_cfg.im_start_token_id
+    ids[0, 4, 0] = loaded_cfg.audio_start_token_id
+    ids[0, -1, 0] = loaded_cfg.audio_assistant_gen_slot_token_id
+    out = engine.generate(ids, np.ones((1, 10), bool), max_new_tokens=8,
+                          text_temperature=0.0, audio_temperature=0.0)
+    _, grid = out[0]
+    assert grid.shape[1] == loaded_cfg.channels
+    assert np.isfinite(grid).all()
