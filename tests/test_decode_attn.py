@@ -154,3 +154,26 @@ def test_delay_engine_kv_quant_generates():
     _, grid = out[0]
     assert grid.shape[1] == cfg.channels
     assert (grid[:, 1:] <= cfg.audio_pad_code).all() and (grid[:, 1:] >= 0).all()
+
+
+def test_kv_quant_with_hidden_out_layers():
+    """QuantKVCache composes with hidden_out_layers (per-head backbone
+    source layers): the quant scan carry must thread through the
+    output_hidden_states path too."""
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.engine.delay_engine import DelayEngine
+
+    cfg = DelayConfig(language_config=tiny_qwen3(), n_vq=4)
+    hol = (0, -1, 1, -1, 2)  # 1 + n_vq entries
+    eng = DelayEngine.random_init(seed=0, config=cfg, dtype=jnp.float32,
+                                  cache_bucket=64, kv_quant=True,
+                                  hidden_out_layers=hol)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 200, (2, 10, cfg.channels))
+    ids[:, 2, 0] = cfg.im_start_token_id
+    ids[:, 4, 0] = cfg.audio_start_token_id
+    ids[:, -1, 0] = cfg.audio_assistant_gen_slot_token_id
+    out = eng.generate(ids, np.ones((2, 10), bool), max_new_tokens=8,
+                       text_temperature=0.0, audio_temperature=0.0)
+    _, grid = out[0]
+    assert grid.shape[1] == cfg.channels and np.isfinite(grid).all()
