@@ -177,3 +177,39 @@ def test_kv_quant_with_hidden_out_layers():
                        text_temperature=0.0, audio_temperature=0.0)
     _, grid = out[0]
     assert grid.shape[1] == cfg.channels and np.isfinite(grid).all()
+
+
+def test_quant_prefill_exact_with_left_padding():
+    """The quant cache's fresh-kv prefill attention must be EXACT under
+    left-padding (the processors left-pad ragged batches; kv_valid carries
+    the mask) — only the cache *write* is quantized."""
+    from mosstts_tpu.core.config import Qwen3Config
+    from mosstts_tpu.nn.qwen3 import (
+        init_kv_cache, init_quant_kv_cache, init_qwen3_params, qwen3_forward,
+    )
+
+    cfg = Qwen3Config(hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=32, vocab_size=128)
+    params = init_qwen3_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    B, T, S = 2, 10, 32
+    x = jnp.asarray(rng.normal(size=(B, T, cfg.hidden_size)) * 0.1, jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T)).astype(jnp.int32)
+    # row 0 fully valid; row 1 left-padded by 4
+    mask = np.ones((B, T), bool)
+    mask[1, :4] = False
+    kv_valid = jnp.zeros((B, S), bool).at[:, :T].set(jnp.asarray(mask))
+
+    h_ref, _ = qwen3_forward(
+        params, cfg, x, positions=positions, kv_valid=kv_valid,
+        cache=init_kv_cache(cfg, B, S, dtype=jnp.float32), cache_offset=0)
+    h_q, _ = qwen3_forward(
+        params, cfg, x, positions=positions, kv_valid=kv_valid,
+        cache=init_quant_kv_cache(cfg, B, S), cache_offset=0)
+    # compare only valid positions (masked-out queries are garbage by design)
+    for b in range(B):
+        vp = np.nonzero(mask[b])[0]
+        np.testing.assert_allclose(
+            np.asarray(h_q)[b, vp], np.asarray(h_ref)[b, vp],
+            rtol=1e-5, atol=1e-5)
