@@ -116,7 +116,7 @@ def si_snr_loss(est: jax.Array, ref: jax.Array, eps: float = 1e-8) -> jax.Array:
 def codec_loss(params, cfg: CodecConfig, wav: jax.Array,
                num_quantizers: int = 8, commit_weight: float = 0.25,
                stft_weight: float = 1.0, l1_weight: float = 1.0,
-               snr_weight: float = 0.3):
+               snr_weight: float = 1.0):
     recon, aux = codec_forward_train(params, cfg, wav, num_quantizers)
     target = wav[:, : recon.shape[1]].astype(jnp.float32)
     reconf = recon.astype(jnp.float32)

@@ -115,7 +115,7 @@ class CodecTrainer:
                  num_quantizers: Optional[int] = None,
                  peak_lr: float = 3e-4, warmup_steps: int = 500,
                  total_steps: int = 100_000, dtype=jnp.float32,
-                 snr_weight: float = 0.3):
+                 snr_weight: float = 1.0):
         self.cfg = cfg
         self.num_quantizers = int(num_quantizers or cfg.n_q)
         self.params = init_codec_params(jax.random.PRNGKey(seed), cfg, dtype)
@@ -199,7 +199,7 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--n-q", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--snr-weight", type=float, default=0.3,
+    ap.add_argument("--snr-weight", type=float, default=1.0,
                     help="weight of the differentiable -SI-SNR term (time "
                          "alignment; magnitude STFT alone is phase-blind)")
     ap.add_argument("--save", default=None)
