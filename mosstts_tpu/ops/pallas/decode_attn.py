@@ -267,6 +267,8 @@ def decode_attention_q8(
     B, H, hd = q.shape
     L, _, KV, S, _ = k_cache.shape
     G = H // KV
+    assert attend_len % block_s == 0 or attend_len < block_s, (
+        f"attend_len {attend_len} not a multiple of block_s {block_s}")
     bs = min(block_s, attend_len)
     n_s = attend_len // bs
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import sys
 import wave
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -38,7 +39,7 @@ VOICES = {
 
 def synth(name: str, f0: float, drift: float, vib: float, bright: float,
           seconds: float) -> np.ndarray:
-    rng = np.random.default_rng(abs(hash(name)) % (2 ** 31))
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     n = int(seconds * SR)
     t = np.arange(n) / SR
     if f0 <= 0:  # ambience: band-limited noise with slow amplitude motion
