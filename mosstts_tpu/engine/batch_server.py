@@ -93,6 +93,8 @@ class DelayBatchServer:
         top_k_text: int = 50,
         top_k_audio: int = 25,
         kv_quant: bool = False,
+        poll_every: int = 4,
+        mesh=None,
     ):
         self.params = params
         self.config = config
@@ -107,6 +109,24 @@ class DelayBatchServer:
         # int8 KV cache for the running batch AND per-request prefills
         # (halves the dominant long-context HBM stream; see docs/PROFILE.md)
         self.kv_quant = kv_quant
+        # Device completion flags are polled every ``poll_every`` steps (or
+        # when a host-side step counter says a slot must be done). pos/step
+        # advance deterministically (+1 per decode step, models/delay.py:500)
+        # so they are mirrored on host — the old per-step device_get of
+        # pos/step cost ~3 tunnel syncs (~100 ms) per step on this box.
+        self.poll_every = poll_every
+        # Tensor-parallel serving mesh; continuous batching splices batch-1
+        # prefills into the pool, which cannot shard on 'data', so only
+        # model-parallel meshes are accepted here.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import delay_param_specs, shard_params
+
+            if mesh.shape.get("data", 1) != 1:
+                raise ValueError(
+                    "DelayBatchServer mesh must have data=1 (batch-1 prefill "
+                    "splice); shard the backbone on 'model' only")
+            self.params = shard_params(self.params, mesh, delay_param_specs())
 
         self._jit: Dict[Any, Any] = {}
         self._ids = itertools.count()
@@ -114,6 +134,10 @@ class DelayBatchServer:
         self._active: Dict[int, _Request] = {}  # slot -> request
         self.state = self._empty_state()
         self.total_steps = 0
+        # host mirrors of state.pos / state.step (exact: both advance by 1
+        # per decode step for every row, stopped or not)
+        self._pos_host = np.zeros(self.slots, np.int64)
+        self._step_host = np.full(self.slots, self.out_capacity, np.int64)
 
     # ------------------------------------------------------------------
     def _empty_state(self) -> DelayGenState:
@@ -204,6 +228,9 @@ class DelayBatchServer:
         small = self._prefill_fn(Tb)(self.params, jnp.asarray(ids), jnp.asarray(mask), rng)
         self.state = self._insert_fn(slot)(self.state, small)
         self._active[slot] = req
+        # mirror the spliced cursors (delay_prefill sets pos=T, step=0)
+        self._pos_host[slot] = Tb
+        self._step_host[slot] = 0
 
     def _fill_free_slots(self):
         if not self._queue:
@@ -215,37 +242,64 @@ class DelayBatchServer:
             if slot not in busy:
                 self._admit(slot, self._queue.pop(0))
 
-    def step(self) -> List[CompletedRequest]:
+    def step(self, *, poll: Optional[bool] = None) -> List[CompletedRequest]:
         """Admit queued requests into free slots, run one decode step for the
-        whole batch, and collect completions."""
+        whole batch, and collect completions.
+
+        The decode step itself needs ZERO host syncs: the attend bucket comes
+        from the host pos mirror. The device is only consulted (one transfer
+        for the stop flags) every ``poll_every`` steps, or when the host step
+        mirror proves some slot hit its token budget; pass ``poll=True`` to
+        force a check. A finished slot may therefore idle for up to
+        poll_every-1 masked steps before being collected — the processor
+        trims at im_end so the extra tail is inert.
+        """
         self._fill_free_slots()
         if not self._active:
             return []
         # attend bucket covers the furthest ACTIVE cursor (idle slots keep
         # advancing but their writes/reads are masked + dropped)
-        pos = np.asarray(jax.device_get(self.state.pos))
         active = sorted(self._active)
-        max_pos = int(pos[active].max())
+        max_pos = int(self._pos_host[active].max())
         attend = attend_bucket(max_pos + 2, 256, self.cache_len)
         self.state = self._step_fn(attend)(self.params, self.state)
         self.total_steps += 1
+        self._pos_host += 1
+        self._step_host += 1
 
+        if poll is None:
+            poll = (
+                self.total_steps % self.poll_every == 0
+                or any(self._step_host[s] >= self._active[s].max_new_tokens
+                       for s in active)
+            )
+        return self._collect() if poll else []
+
+    def _collect(self) -> List[CompletedRequest]:
+        """One transfer for the stop flags, then one batched transfer for the
+        finished slots' token grids."""
         stopped = np.asarray(jax.device_get(self.state.is_stopping))
-        steps = np.asarray(jax.device_get(self.state.step))
+        finished = [
+            (slot, req) for slot, req in sorted(self._active.items())
+            if stopped[slot] or self._step_host[slot] >= req.max_new_tokens
+        ]
+        if not finished:
+            return []
+        rows = np.asarray([slot for slot, _ in finished])
+        outs = np.asarray(jax.device_get(self.state.out[rows]))
         done: List[CompletedRequest] = []
-        for slot, req in list(self._active.items()):
-            if stopped[slot] or steps[slot] >= req.max_new_tokens:
-                n = int(min(steps[slot], req.max_new_tokens))
-                gen = np.asarray(jax.device_get(self.state.out[slot, :n]))
-                full = np.concatenate([req.input_ids, gen.astype(np.int64)], axis=0)
-                start_idx = req.input_ids.shape[0] - req.start_length
-                done.append(CompletedRequest(
-                    request_id=req.request_id,
-                    start_length=req.start_length,
-                    tokens=full[start_idx:],
-                    steps=n,
-                ))
-                del self._active[slot]
+        for (slot, req), gen_full in zip(finished, outs):
+            n = int(min(self._step_host[slot], req.max_new_tokens))
+            full = np.concatenate(
+                [req.input_ids, gen_full[:n].astype(np.int64)], axis=0)
+            start_idx = req.input_ids.shape[0] - req.start_length
+            done.append(CompletedRequest(
+                request_id=req.request_id,
+                start_length=req.start_length,
+                tokens=full[start_idx:],
+                steps=n,
+            ))
+            del self._active[slot]
         return done
 
     def run(self, max_steps: int = 100000) -> List[CompletedRequest]:

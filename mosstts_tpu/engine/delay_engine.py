@@ -55,6 +55,7 @@ class DelayEngine:
         top_k_audio: int = 25,
         hidden_out_layers: Optional[tuple] = None,
         kv_quant: bool = False,
+        mesh=None,
     ):
         self.params = params
         self.config = config
@@ -68,6 +69,16 @@ class DelayEngine:
         # per-head backbone source layers (checkpoint-level, static in jit;
         # reference modeling_moss_tts.py:236,280-289)
         self.hidden_out_layers = tuple(hidden_out_layers) if hidden_out_layers else None
+        # Sharded serving over a ('data','model') mesh (SURVEY §2.b: streams
+        # shard on data, the backbone tensor-parallel on model). Params are
+        # device_put with delay_param_specs; batch inputs go on 'data'; GSPMD
+        # propagates shardings through the jitted prefill/step programs and
+        # emits the ICI collectives.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import delay_param_specs, shard_params
+
+            self.params = shard_params(self.params, mesh, delay_param_specs())
         self._prefill_jit: Dict[Any, Any] = {}
         self._step_jit: Dict[Any, Any] = {}
         self._device_gen_jit: Dict[Any, Any] = {}
@@ -185,8 +196,20 @@ class DelayEngine:
         cache_len = _round_up(T + max_new_tokens + 1, self.cache_bucket)
         rng = jax.random.PRNGKey(seed)
 
+        ids_dev = jnp.asarray(input_ids)
+        mask_dev = jnp.asarray(attention_mask)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = self.mesh.shape["data"]
+            if B % n_data:
+                raise ValueError(
+                    f"batch {B} not divisible by mesh data axis {n_data}")
+            ids_dev = jax.device_put(ids_dev, NamedSharding(self.mesh, P("data")))
+            mask_dev = jax.device_put(mask_dev, NamedSharding(self.mesh, P("data")))
+
         state = self._get_prefill(max_new_tokens, cache_len)(
-            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask), rng, sampling
+            self.params, ids_dev, mask_dev, rng, sampling
         )
 
         bucket = self.cache_bucket

@@ -92,6 +92,80 @@ def test_graft_entry_single_device():
 
 
 @multi_device
+def test_delay_engine_sharded_generate_matches_single():
+    """ENGINE-level sharded serving: DelayEngine(mesh=...) shards params
+    (model-TP) and the batch on 'data', and generate() emits tokens equal to
+    the single-device engine (SURVEY §2.b: multi-stream serving shards
+    streams on data, the 8B backbone on model)."""
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.engine.delay_engine import DelayEngine
+    from mosstts_tpu.models.delay import init_delay_params
+    from mosstts_tpu.parallel.mesh import make_mesh
+
+    cfg = DelayConfig(language_config=tiny_qwen3(vocab_size=512), n_vq=4)
+    params = init_delay_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    B, T = 4, 8
+    ids = rng.integers(0, 500, (B, T, cfg.channels))
+    ids[:, 1, 0] = cfg.im_start_token_id
+    ids[:, -1, 0] = cfg.audio_assistant_gen_slot_token_id
+
+    kw = dict(dtype=jnp.float32, cache_bucket=32)
+    solo = DelayEngine(params, cfg, **kw).generate(
+        ids, max_new_tokens=12, text_temperature=0.0, audio_temperature=0.0)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = DelayEngine(params, cfg, mesh=mesh, **kw).generate(
+        ids, max_new_tokens=12, text_temperature=0.0, audio_temperature=0.0)
+
+    for (s_start, s_toks), (m_start, m_toks) in zip(solo, sharded):
+        assert s_start == m_start
+        np.testing.assert_array_equal(s_toks, m_toks)
+
+
+@multi_device
+def test_batch_server_model_parallel_matches_single():
+    """Continuous batching with the backbone sharded tensor-parallel over
+    'model' (batch-1 prefill splice forbids a data axis) matches the
+    unsharded server token-for-token."""
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.engine.batch_server import DelayBatchServer
+    from mosstts_tpu.models.delay import init_delay_params, make_sampling
+    from mosstts_tpu.parallel.mesh import make_mesh
+
+    # n_vq=8 so audio_emb's codebook axis divides the 8-way model axis
+    cfg = DelayConfig(language_config=tiny_qwen3(vocab_size=512), n_vq=8)
+    params = init_delay_params(jax.random.PRNGKey(6), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    grids = []
+    for i in range(3):
+        g = rng.integers(0, 500, (8 + i, cfg.channels))
+        g[1, 0] = cfg.im_start_token_id
+        g[-1, 0] = cfg.audio_assistant_gen_slot_token_id
+        grids.append(g)
+
+    def run(mesh):
+        server = DelayBatchServer(
+            params, cfg, slots=2, cache_len=128, out_capacity=32,
+            prompt_bucket=16, dtype=jnp.float32, mesh=mesh,
+            sampling=make_sampling(text_temperature=0.0, audio_temperature=0.0),
+        )
+        rids = [server.submit(g, max_new_tokens=10) for g in grids]
+        done = {c.request_id: c for c in server.run(max_steps=300)}
+        return [done[r] for r in rids]
+
+    ref = run(None)
+    par = run(make_mesh(data=1, model=8))
+    for a, b in zip(ref, par):
+        assert a.start_length == b.start_length
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        DelayBatchServer(params, cfg, slots=2, mesh=make_mesh(data=2, model=4))
+
+
+@multi_device
 def test_delay_decode_sharded_matches_single():
     """The SERVING path under GSPMD: prefill + greedy decode steps with the
     engine's jitted programs over a (data, model) mesh produce the same
