@@ -26,7 +26,20 @@ import numpy as np
 import optax
 
 from ..core.config import CodecConfig
-from .losses import codec_loss, multiscale_stft_loss, stft_mag
+from .discriminator import (
+    disc_forward,
+    feature_matching_loss,
+    hinge_d_loss,
+    hinge_g_loss,
+    init_discriminators,
+)
+from .losses import (
+    codec_forward_train,
+    codec_loss,
+    multiscale_stft_loss,
+    si_snr_loss,
+    stft_mag,
+)
 from .model import MossAudioTokenizer, init_codec_params
 
 
@@ -115,7 +128,11 @@ class CodecTrainer:
                  num_quantizers: Optional[int] = None,
                  peak_lr: float = 3e-4, warmup_steps: int = 500,
                  total_steps: int = 100_000, dtype=jnp.float32,
-                 snr_weight: float = 1.0):
+                 snr_weight: float = 1.0,
+                 adversarial: bool = False,
+                 adv_weight: float = 3.0, fm_weight: float = 3.0,
+                 disc_lr: float = 3e-4, disc_channels: int = 32,
+                 adv_start: int = 0):
         self.cfg = cfg
         self.num_quantizers = int(num_quantizers or cfg.n_q)
         self.params = init_codec_params(jax.random.PRNGKey(seed), cfg, dtype)
@@ -123,6 +140,12 @@ class CodecTrainer:
         self.opt_state = self.tx.init(self.params)
         self.step_idx = 0
         self.history: List[Dict[str, float]] = []
+        # adversarial half (MS-STFT + multi-period discriminators, hinge
+        # losses, feature matching): the part of the recipe the pure
+        # reconstruction objective lacks (docs/PROFILE.md: "positive SI-SNR
+        # needs adversarial training")
+        self.adversarial = bool(adversarial)
+        self.adv_start = int(adv_start)
 
         nq, tx, sw = self.num_quantizers, self.tx, float(snr_weight)
 
@@ -139,10 +162,71 @@ class CodecTrainer:
 
         self._jit_step = _step
 
+        if self.adversarial:
+            self.d_params = init_discriminators(
+                jax.random.PRNGKey(seed + 1), channels=disc_channels)
+            self.d_tx = make_codec_optimizer(disc_lr, warmup_steps, total_steps)
+            self.d_opt_state = self.d_tx.init(self.d_params)
+            aw, fw, dtx = float(adv_weight), float(fm_weight), self.d_tx
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def _gan_step(params, opt_state, d_params, d_opt_state, wav,
+                          adv_on):
+                """One G update (recon + adv + feature-matching, D frozen)
+                then one D update (hinge real/fake, G output detached) —
+                the standard alternating schedule, fused into ONE jitted
+                program. ``adv_on`` (0./1.) gates the adversarial terms so
+                a warmup schedule does not recompile."""
+                def g_loss_fn(p):
+                    recon, q_aux = codec_forward_train(p, cfg, wav, nq)
+                    target = wav[:, : recon.shape[1]].astype(jnp.float32)
+                    reconf = recon.astype(jnp.float32)
+                    l1 = jnp.mean(jnp.abs(reconf - target))
+                    spec = multiscale_stft_loss(target, reconf)
+                    neg_snr = si_snr_loss(reconf, target)
+                    fake_outs = disc_forward(d_params, reconf)
+                    real_outs = disc_forward(
+                        d_params, jax.lax.stop_gradient(target))
+                    adv = hinge_g_loss(fake_outs)
+                    fm = feature_matching_loss(real_outs, fake_outs)
+                    total = (l1 + spec + sw * neg_snr
+                             + 0.25 * q_aux["commitment"] + q_aux["codebook"]
+                             + adv_on * (aw * adv + fw * fm))
+                    metrics = {"l1": l1, "stft": spec, "neg_si_snr_db": neg_snr,
+                               "adv": adv, "fm": fm, **q_aux}
+                    return total, (reconf, target, metrics)
+
+                (g_loss, (reconf, target, metrics)), grads = (
+                    jax.value_and_grad(g_loss_fn, has_aux=True)(params))
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+
+                fake = jax.lax.stop_gradient(reconf)
+
+                def d_loss_fn(dp):
+                    return hinge_d_loss(disc_forward(dp, target),
+                                        disc_forward(dp, fake))
+
+                d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params)
+                d_updates, d_opt_state = dtx.update(d_grads, d_opt_state,
+                                                    d_params)
+                d_params = optax.apply_updates(d_params, d_updates)
+                metrics["d_loss"] = d_loss
+                return params, opt_state, d_params, d_opt_state, g_loss, metrics
+
+            self._jit_gan_step = _gan_step
+
     def train_step(self, wav: np.ndarray) -> Dict[str, float]:
-        self.params, self.opt_state, loss, aux = self._jit_step(
-            self.params, self.opt_state, jnp.asarray(wav, jnp.float32)
-        )
+        wav_j = jnp.asarray(wav, jnp.float32)
+        if self.adversarial:
+            adv_on = jnp.float32(1.0 if self.step_idx >= self.adv_start else 0.0)
+            (self.params, self.opt_state, self.d_params, self.d_opt_state,
+             loss, aux) = self._jit_gan_step(
+                self.params, self.opt_state, self.d_params, self.d_opt_state,
+                wav_j, adv_on)
+        else:
+            self.params, self.opt_state, loss, aux = self._jit_step(
+                self.params, self.opt_state, wav_j)
         rec = {"step": self.step_idx, "loss": float(jax.device_get(loss))}
         rec.update({k: float(jax.device_get(v)) for k, v in aux.items()})
         self.step_idx += 1
@@ -202,6 +286,14 @@ def main(argv=None):
     ap.add_argument("--snr-weight", type=float, default=1.0,
                     help="weight of the differentiable -SI-SNR term (time "
                          "alignment; magnitude STFT alone is phase-blind)")
+    ap.add_argument("--adversarial", action="store_true",
+                    help="enable the GAN half: MS-STFT + multi-period "
+                         "discriminators, hinge losses, feature matching "
+                         "(alternating G/D updates in one jitted step)")
+    ap.add_argument("--adv-weight", type=float, default=3.0)
+    ap.add_argument("--fm-weight", type=float, default=3.0)
+    ap.add_argument("--adv-start", type=int, default=0,
+                    help="step at which the adversarial terms switch on")
     ap.add_argument("--save", default=None)
     args = ap.parse_args(argv)
 
@@ -214,7 +306,10 @@ def main(argv=None):
     )
     trainer = CodecTrainer(cfg, num_quantizers=args.n_q, peak_lr=args.lr,
                            warmup_steps=max(1, args.steps // 10),
-                           total_steps=args.steps, snr_weight=args.snr_weight)
+                           total_steps=args.steps, snr_weight=args.snr_weight,
+                           adversarial=args.adversarial,
+                           adv_weight=args.adv_weight,
+                           fm_weight=args.fm_weight, adv_start=args.adv_start)
     data = synthetic_data_iter(0, args.batch, args.seconds, cfg.sampling_rate)
     eval_wav = synthetic_audio_batch(np.random.default_rng(99), 2, args.seconds,
                                      cfg.sampling_rate)

@@ -91,3 +91,68 @@ def test_codec_1p6b_preset_scale():
         lambda k: init_codec_params(k, cfg), jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     assert n_params > 1.4e9, f"{n_params/1e9:.2f}B"
+
+
+def test_adversarial_training_step():
+    """The GAN half (MS-STFT + multi-period discriminators, hinge losses,
+    feature matching): one jitted alternating G/D step runs, the D loss
+    moves toward discrimination, and the G adversarial terms are live
+    (finite, changing) — the piece of the recipe PROFILE.md names as
+    required for positive SI-SNR."""
+    from mosstts_tpu.codec.train import CodecTrainer, synthetic_data_iter
+    from mosstts_tpu.core.config import CodecConfig
+
+    cfg = CodecConfig(
+        hidden_size=64, intermediate_size=192,
+        num_encoder_layers=2, num_decoder_layers=2,
+        num_attention_heads=2, num_key_value_heads=2,
+        head_dim=32, n_q=4, codebook_dim=64,
+    )
+    tr = CodecTrainer(cfg, num_quantizers=4, adversarial=True,
+                      disc_channels=8, disc_lr=1e-3,
+                      warmup_steps=1, total_steps=12)
+    data = synthetic_data_iter(0, 2, 0.5, cfg.sampling_rate)
+    hist = [tr.train_step(next(data)) for _ in range(8)]
+
+    for rec in hist:
+        for k in ("loss", "adv", "fm", "d_loss"):
+            assert np.isfinite(rec[k]), (k, rec)
+    # untrained D on hinge loss starts at ~2.0 (both terms ~1); training
+    # must move it down (it is learning to separate real from fake)
+    assert hist[-1]["d_loss"] < hist[0]["d_loss"]
+    # the adversarial + feature-matching terms are not constant (gradients
+    # reach both G and D through the discriminator ensemble)
+    assert len({round(h["adv"], 6) for h in hist}) > 1
+    assert len({round(h["fm"], 4) for h in hist}) > 1
+
+
+def test_discriminator_shapes_and_losses():
+    """disc_forward returns per-sub (logits, features); hinge/FM losses are
+    scalar, differentiable, and zero FM for identical inputs."""
+    from mosstts_tpu.codec.discriminator import (
+        disc_forward, feature_matching_loss, hinge_d_loss, hinge_g_loss,
+        init_discriminators,
+    )
+
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 12000)), jnp.float32)
+    params = init_discriminators(jax.random.PRNGKey(0), channels=4)
+    outs = disc_forward(params, wav)
+    assert len(outs) >= 6  # >=1 STFT scales + 5 periods
+    for logits, feats in outs:
+        assert logits.shape[0] == 2 and logits.shape[-1] == 1
+        assert len(feats) >= 4
+
+    same = feature_matching_loss(outs, outs)
+    assert float(same) == 0.0
+    other = disc_forward(params, wav * 0.5 + 0.1)
+    assert float(feature_matching_loss(outs, other)) > 0.0
+    assert np.isfinite(float(hinge_d_loss(outs, other)))
+    assert np.isfinite(float(hinge_g_loss(other)))
+
+    # gradients flow to every discriminator leaf
+    g = jax.grad(lambda p: hinge_d_loss(disc_forward(p, wav),
+                                        disc_forward(p, wav * 0.3)))(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
