@@ -103,6 +103,7 @@ def delay_forward(
     hidden_out_layers: Optional[list] = None,
     logits_len: Optional[int] = None,
     text_lazy: bool = False,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Optional[KVCache]]:
     """Returns (text_logits (B,T,V), audio_logits (B,T,n_vq,Va), cache).
     The last audio vocab index (== pad code) is masked to -inf, matching
@@ -136,7 +137,7 @@ def delay_forward(
             params["backbone"], cfg.language_config, embeds,
             positions=positions, kv_valid=kv_valid,
             cache=cache, cache_offset=cache_offset, attend_len=attend_len,
-            output_hidden_states=True,
+            output_hidden_states=True, remat=remat,
         )
         if logits_len is not None:
             all_hs = all_hs[:, :, -logits_len:]
@@ -163,7 +164,7 @@ def delay_forward(
     hidden, cache = qwen3_forward(
         params["backbone"], cfg.language_config, embeds,
         positions=positions, kv_valid=kv_valid, cache=cache, cache_offset=cache_offset,
-        attend_len=attend_len,
+        attend_len=attend_len, remat=remat,
     )
     if logits_len is not None:
         hidden = hidden[:, -logits_len:]
@@ -541,6 +542,7 @@ def delay_loss(
     attention_mask: jax.Array,  # (B, T)
     labels: jax.Array,  # (B, T, C), -100 = ignore
     channelwise_loss_weight: Optional[jax.Array] = None,  # (C,)
+    remat: bool = False,
 ):
     """Multi-channel CE training loss (reference forward :302-378): summed
     per-sample/per-channel losses normalised by valid-token counts, with
@@ -548,7 +550,8 @@ def delay_loss(
     B, T, C = ids.shape
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     text_logits, audio_logits, _ = delay_forward(
-        params, cfg, ids, positions=positions, kv_valid=attention_mask
+        params, cfg, ids, positions=positions, kv_valid=attention_mask,
+        remat=remat,
     )
 
     def ce(logits, lab):

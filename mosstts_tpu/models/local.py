@@ -164,6 +164,7 @@ def local_loss(
     labels: jax.Array,  # (B, T, 1+n_vq), -100 ignore
     channel_weights: Optional[jax.Array] = None,  # (C,)
     n_vq_infer: Optional[int] = None,
+    remat: bool = False,
 ):
     """Teacher-forced training loss (reference MossTTSDelayModel.forward,
     moss_tts_local/modeling_moss_tts.py:652-743): backbone hidden feeds depth
@@ -177,7 +178,8 @@ def local_loss(
 
     embeds = local_embed(params, cfg, ids, n)
     hidden, _ = qwen3_forward(
-        params["backbone"], lc, embeds, positions=positions, kv_valid=attention_mask
+        params["backbone"], lc, embeds, positions=positions,
+        kv_valid=attention_mask, remat=remat,
     )  # (B, T, D)
 
     # depth inputs: [g_t, emb_0(lab_0), ..., emb_{C-2}(lab_{C-2})]
@@ -199,7 +201,7 @@ def local_loss(
         params["local"], lcfg, flat,
         positions=jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None], (B * T, C)),
         kv_valid=jnp.ones((B * T, C), jnp.bool_),
-        use_rope=False,
+        use_rope=False, remat=remat,
     )  # (B*T, C, Dl)
 
     def ce(logits, labch):

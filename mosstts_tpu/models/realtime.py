@@ -180,6 +180,7 @@ def realtime_loss(
     ids: jax.Array,  # (B, T, 1+rvq)
     attention_mask: jax.Array,  # (B, T)
     labels: jax.Array,  # (B, T, 1+rvq), -100 ignore; audio channels trained
+    remat: bool = False,
 ):
     """Training forward (reference modeling_mossttsrealtime.py:149-171):
     backbone runs over the grid; frames whose audio labels are all -100 are
@@ -199,7 +200,8 @@ def realtime_loss(
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     embeds = realtime_embed(params, cfg, ids)
     hidden, _ = qwen3_forward(
-        params["backbone"], lc, embeds, positions=positions, kv_valid=attention_mask
+        params["backbone"], lc, embeds, positions=positions,
+        kv_valid=attention_mask, remat=remat,
     )
 
     audio_labels = labels[..., 1:]  # (B, T, R)
@@ -218,7 +220,7 @@ def realtime_loss(
     h, _ = qwen3_forward(
         params["local"], lq, blocks,
         positions=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None], (B * T, R)),
-        kv_valid=jnp.ones((B * T, R), jnp.bool_),
+        kv_valid=jnp.ones((B * T, R), jnp.bool_), remat=remat,
     )  # (B*T, R, D)
     logits = jnp.einsum(
         "brd,rdv->brv", h, params["local_heads"], preferred_element_type=jnp.float32

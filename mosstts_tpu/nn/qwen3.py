@@ -171,8 +171,15 @@ def qwen3_forward(
     use_rope: bool = True,
     attend_len: Optional[int] = None,
     output_hidden_states: bool = False,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Returns (last_hidden_state (B,T,D), updated cache or None).
+
+    ``remat=True`` wraps the layer body in ``jax.checkpoint`` (no-cache /
+    training path only): activations inside each layer are recomputed in
+    the backward pass instead of stored, cutting peak training memory from
+    O(L * per-layer activations) to O(L * residual stream) — what lets an
+    8B train step fit real sequence lengths on a v5e slice.
 
     ``kv_positions`` overrides the cache slots' absolute positions (used by
     ring/sliding-window caches where slot index != position; default is the
@@ -397,6 +404,8 @@ def qwen3_forward(
             out = attend(lp, hidden, q, k, v, kv_major=False)
             return out, (out if output_hidden_states else None)
 
+        if remat:
+            layer_nc = jax.checkpoint(layer_nc)
         hidden, per_layer = jax.lax.scan(layer_nc, inputs_embeds, params["layers"])
         new_cache = None
         if output_hidden_states:

@@ -89,7 +89,7 @@ class TTSTrainer:
     def __init__(self, family: str, cfg, *, seed: int = 0,
                  peak_lr: float = 1e-4, warmup_steps: int = 100,
                  total_steps: int = 10_000, dtype=jnp.float32,
-                 mesh=None, channel_weights=None):
+                 mesh=None, channel_weights=None, remat: bool = False):
         if family not in _FAMILIES:
             raise ValueError(f"unknown family {family!r}; pick from {sorted(_FAMILIES)}")
         init_fn, loss_fn, _ = _FAMILIES[family]
@@ -115,15 +115,23 @@ class TTSTrainer:
               if channel_weights is not None else None)
         tx = self.tx
 
+        # remat (jax.checkpoint around the backbone layer-scan body):
+        # recompute layer activations in the backward pass instead of
+        # storing them — required for the 8B at real sequence lengths on a
+        # v5e slice. Loss-equal with remat off (tests/test_tts_trainer.py).
+        self.remat = bool(remat)
+
         def batch_loss(p, b):
             if family == "delay":
                 return delay_loss(p, cfg, b["input_ids"], b["attention_mask"],
-                                  b["labels"], channelwise_loss_weight=cw)
+                                  b["labels"], channelwise_loss_weight=cw,
+                                  remat=self.remat)
             if family == "local":
                 return local_loss(p, cfg, b["input_ids"], b["attention_mask"],
-                                  b["labels"], channel_weights=cw)
+                                  b["labels"], channel_weights=cw,
+                                  remat=self.remat)
             return realtime_loss(p, cfg, b["input_ids"], b["attention_mask"],
-                                 b["labels"])
+                                 b["labels"], remat=self.remat)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _step(params, opt_state, b):
@@ -187,6 +195,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--mesh", default=None,
                     help="'DATAxMODEL' e.g. 2x4 to shard over a device mesh")
+    ap.add_argument("--remat", action="store_true",
+                    help="gradient checkpointing around the backbone layer "
+                         "scan (recompute activations in backward; needed "
+                         "for 8B at real sequence lengths)")
     ap.add_argument("--save", default=None)
     args = ap.parse_args(argv)
 
@@ -218,7 +230,7 @@ def main(argv=None):
 
     trainer = TTSTrainer(args.family, cfg, peak_lr=args.lr,
                          warmup_steps=max(1, args.steps // 10),
-                         total_steps=args.steps, mesh=mesh)
+                         total_steps=args.steps, mesh=mesh, remat=args.remat)
     rng = np.random.default_rng(0)
 
     def data():

@@ -104,3 +104,43 @@ def test_train_then_serve_roundtrip(tmp_path):
     _, grid = out[0]
     assert grid.shape[1] == loaded_cfg.channels
     assert np.isfinite(grid).all()
+
+
+@pytest.mark.parametrize("family", ["delay", "local", "realtime"])
+def test_trainer_remat_loss_equal(family):
+    """jax.checkpoint around the backbone layer scan changes only the
+    backward-pass memory schedule, not the math: the remat trainer's first
+    step must produce the same loss and gradient norm as the plain one."""
+    cfg = _cfg(family)
+    rng = np.random.default_rng(7)
+    batch = synthetic_tts_batch(family, cfg, rng, batch=2, seq=16)
+    plain = TTSTrainer(family, cfg, total_steps=3).train_step(batch)
+    remat = TTSTrainer(family, cfg, total_steps=3, remat=True).train_step(batch)
+    np.testing.assert_allclose(remat["loss"], plain["loss"], rtol=1e-6)
+    np.testing.assert_allclose(remat["grad_norm"], plain["grad_norm"],
+                               rtol=1e-5)
+
+
+def test_remat_reduces_peak_training_memory():
+    """The point of the flag: compiled peak temp memory of the delay train
+    step must drop with remat at a long-sequence shape (layers re-run in
+    backward instead of storing activations)."""
+    from mosstts_tpu.models.delay import delay_loss, init_delay_params
+
+    cfg = _cfg("delay")
+    params = init_delay_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    batch = synthetic_tts_batch("delay", cfg, rng, batch=2, seq=256)
+    b = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def grads(remat):
+        f = lambda p: delay_loss(p, cfg, b["input_ids"], b["attention_mask"],
+                                 b["labels"], remat=remat)[0]
+        return jax.jit(jax.grad(f)).lower(params).compile()
+
+    plain = grads(False).memory_analysis()
+    ckpt = grads(True).memory_analysis()
+    if plain is None or ckpt is None:
+        pytest.skip("backend exposes no memory analysis")
+    assert ckpt.temp_size_in_bytes < plain.temp_size_in_bytes, (
+        ckpt.temp_size_in_bytes, plain.temp_size_in_bytes)
