@@ -20,6 +20,21 @@ class QuantWeight(NamedTuple):
     q: jax.Array  # int8 (..., in, out)
     scale: jax.Array  # f32 (..., out)
 
+    @property
+    def dtype(self):
+        """Activation dtype call sites should compute in (callers probe a
+        weight's dtype to pick buffer dtypes; int8 serving runs bf16
+        activations)."""
+        return jnp.bfloat16
+
+    @property
+    def ndim(self) -> int:
+        return self.q.ndim
+
+    @property
+    def shape(self):
+        return self.q.shape
+
 
 def quantize_weight(w: jax.Array) -> QuantWeight:
     wf = w.astype(jnp.float32)

@@ -95,3 +95,33 @@ def test_save_load_roundtrip(codec, tmp_path):
     b = loaded.decode(codes, chunk_duration=None)["audio"][0]
     np.testing.assert_allclose(a, b, atol=1e-6)
     assert loaded.codebook_size == TINY.codebook_size
+
+
+def test_quantized_codec_runs(codec):
+    """int8 weight-only serving layout for the codec (the 1.6B parity-scale
+    preset must serve quantized to fit alongside a backbone): encode/decode/
+    streaming all run over QuantWeight matmuls, and outputs stay close to
+    the float path."""
+    from mosstts_tpu.ops.quant import QuantWeight, quantize_tree
+
+    qcodec = MossAudioTokenizer(quantize_tree(codec.params), codec.config)
+    assert isinstance(qcodec.params["enc_in"], QuantWeight)
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal(4800).astype(np.float32) * 0.1
+
+    enc = qcodec.batch_encode([wav], num_quantizers=TINY.n_q)
+    assert enc.audio_codes.shape[0] == TINY.n_q
+    dec = qcodec.decode(enc.audio_codes, chunk_duration=None)
+    out = np.asarray(dec.audio)
+    assert np.isfinite(out).all()
+
+    ref = codec.decode(enc.audio_codes, chunk_duration=None)
+    refa = np.asarray(ref.audio)
+    # int8 weights perturb but must not destroy the reconstruction
+    denom = np.abs(refa).mean() + 1e-6
+    assert np.abs(out - refa).mean() / denom < 0.5
+
+    with qcodec.streaming(batch_size=1):
+        chunk = np.asarray(enc.audio_codes)[:, 0, :6]
+        w = qcodec.decode(chunk, chunk_duration=None)["audio"][0]
+    assert np.isfinite(w).all()
