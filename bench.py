@@ -143,6 +143,316 @@ def run_size(size: str, args) -> dict:
     }
 
 
+def _build_codec(which: str, n_q: int, *, for_latency: bool = False):
+    """Codec at bench scale. ``1p6b`` is the parity-scale preset (the
+    reference Cat codec is 1.6B, README.md:378-408) in bf16 with int8
+    matmul weights — the serving layout that fits alongside a backbone."""
+    from mosstts_tpu.codec.model import MossAudioTokenizer
+    from mosstts_tpu.core.config import CodecConfig, codec_1p6b
+
+    if which == "1p6b":
+        cfg = codec_1p6b(n_q=n_q)
+        codec = MossAudioTokenizer.random_init(seed=0, config=cfg,
+                                               dtype=jnp.bfloat16)
+        from mosstts_tpu.ops.quant import quantize_tree
+
+        codec.params = quantize_tree(codec.params)
+        return codec, cfg
+    cfg = CodecConfig(n_q=n_q)
+    return MossAudioTokenizer.random_init(seed=0, config=cfg), cfg
+
+
+def run_codec_bench(args) -> dict:
+    """Codec throughput/latency at the chosen scale: one-shot encode and
+    decode realtime multiples plus the streaming 3-frame chunk latency that
+    gates TTFA (reference serves its 1.6B codec on GPU; ours must hold the
+    <200 ms budget with the same-scale codec on one chip)."""
+    codec, ccfg = _build_codec(args.codec, n_q=32)
+    sr = ccfg.sampling_rate
+    seconds = 8.0
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal((int(seconds * sr),)).astype(np.float32) * 0.1
+
+    log(f"[codec-{args.codec}] compiling encode...")
+    t0 = time.perf_counter()
+    enc = codec.batch_encode([wav], num_quantizers=32)
+    enc_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    enc = codec.batch_encode([wav], num_quantizers=32)
+    enc_s = time.perf_counter() - t0
+
+    log(f"[codec-{args.codec}] compiling decode...")
+    t0 = time.perf_counter()
+    dec = codec.decode(enc.audio_codes, chunk_duration=None)
+    dec_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec = codec.decode(enc.audio_codes, chunk_duration=None)
+    dec_s = time.perf_counter() - t0
+    del dec
+
+    # streaming chunk: the 3-frame first-audio chunk + the 12-frame steady
+    # chunk, stateful session (what RealtimeStreamingSession drives)
+    chunk_ms = {}
+    for frames in (3, 12):
+        codes2 = rng.integers(0, 1024, (32, frames))  # (NQ, T) stream call
+        with codec.streaming(batch_size=1):
+            for _ in range(3):  # compile + warm
+                codec.decode(codes2, chunk_duration=None)
+            ts = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                codec.decode(codes2, chunk_duration=None)
+                ts.append((time.perf_counter() - t0) * 1000)
+        chunk_ms[frames] = round(sorted(ts)[len(ts) // 2], 1)
+
+    enc_rt = seconds / enc_s
+    dec_rt = seconds / dec_s
+    return {
+        "metric": f"codec_{args.codec}_decode_realtime_multiple",
+        "value": round(dec_rt, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(dec_rt / 1.0, 3),  # must beat 1x to serve
+        "detail": {
+            "encode_x_realtime": round(enc_rt, 1),
+            "decode_x_realtime": round(dec_rt, 1),
+            "clip_seconds": seconds,
+            "n_q": 32,
+            "stream_chunk_ms": chunk_ms,
+            "encode_compile_s": round(enc_compile_s, 1),
+            "decode_compile_s": round(dec_compile_s, 1),
+            "int8": args.codec == "1p6b",
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def run_local_family(args) -> dict:
+    """Local (depth-transformer) family at the 1.7B parity scale — the
+    reference's best-quality checkpoint (docs/moss_tts_model_card.md:427).
+    Measures the O(Nq) cached depth scan per frame (the reference re-runs
+    the depth stack O(Nq^2), moss_tts_local/modeling_moss_tts.py:418-470)."""
+    from mosstts_tpu.core.config import LocalConfig, qwen3_1p7b
+    from mosstts_tpu.engine.local_engine import LocalEngine
+    from mosstts_tpu.models.local import make_local_sampling
+
+    batch = args.batch or 64
+    cfg = LocalConfig(language_config=qwen3_1p7b(), n_vq=32)
+    engine = LocalEngine.random_init(seed=0, config=cfg, dtype=jnp.bfloat16)
+    engine.quantize("int8")
+
+    rng = np.random.default_rng(0)
+    T = args.prompt
+    ids = rng.integers(0, 1000, (batch, T, cfg.channels))
+    ids[..., 1:] = rng.integers(0, 1024, (batch, T, cfg.n_vq))
+    ids[:, 8, 0] = cfg.audio_start_token_id
+    mask = np.ones((batch, T), bool)
+    sampling = make_local_sampling(None, None, cfg.channels)
+
+    max_new = args.steps + args.warmup + 8
+    cache_len = ((T + max_new + 1 + 255) // 256) * 256
+    log(f"[local-1p7b] compiling prefill (batch {batch})...")
+    t0 = time.perf_counter()
+    state = engine._prefill_fn(max_new, cache_len, cfg.n_vq)(
+        engine.params, jnp.asarray(ids), jnp.asarray(mask),
+        jax.random.PRNGKey(0))
+    jax.device_get(state.unfinished)
+    prefill_compile_s = time.perf_counter() - t0
+    step = engine._step_fn(cfg.n_vq, cfg.audio_end_token_id, cache_len)
+    log("[local-1p7b] compiling step...")
+    for i in range(args.warmup):
+        state = step(engine.params, state, sampling)
+        if i == 0:
+            jax.device_get(state.unfinished)
+    jax.device_get(state.unfinished)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state = step(engine.params, state, sampling)
+    jax.device_get(state.unfinished)
+    elapsed = time.perf_counter() - t0
+
+    frames_per_sec = batch * args.steps / elapsed
+    rtf = frames_per_sec / 12.5
+    del engine, state
+    gc.collect()
+    return {
+        "metric": "local_decode_realtime_multiple_per_chip",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 20.0, 3),
+        "detail": {
+            "batch": batch, "steps": args.steps,
+            "step_ms": round(1000 * elapsed / args.steps, 2),
+            "frames_per_sec": round(frames_per_sec, 1),
+            "prefill_compile_s": round(prefill_compile_s, 1),
+            "n_vq": cfg.n_vq, "int8": True,
+            "depth_scan": "O(Nq) cached (reference O(Nq^2))",
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def run_realtime_family(args) -> dict:
+    """Realtime multi-stream serving throughput: B concurrent streams
+    stepped in lock-step through the ONE jitted frame program, pipelined
+    8-step blocks against the tunnel sync (promotes the round-2 ad-hoc
+    measurement into the script)."""
+    from mosstts_tpu.core.config import RealtimeConfig
+    from mosstts_tpu.engine.realtime_engine import RealtimeEngine
+
+    B = args.batch or 8
+    cfg = RealtimeConfig()
+    engine = RealtimeEngine.random_init(seed=0, config=cfg, dtype=jnp.bfloat16)
+    engine.quantize("int8")
+
+    rng = np.random.default_rng(0)
+    # (T, 1+rvq) turn grids: text channel + rvq audio channels
+    grids = []
+    for _ in range(B):
+        g = np.full((4, 1 + cfg.rvq), cfg.audio_pad_token, np.int64)
+        g[:, 0] = rng.integers(100, 1000, 4)
+        g[:, 1:] = rng.integers(0, 1024, (4, cfg.rvq))
+        grids.append(g)
+    text = [list(rng.integers(100, 1000, 160)) for _ in range(B)]
+
+    log(f"[realtime] prefill+generate warmup ({B} streams)...")
+    engine.generate(grids, text, max_length=12)
+    frames = args.steps
+    t0 = time.perf_counter()
+    engine.generate(grids, text, max_length=frames)
+    elapsed = time.perf_counter() - t0
+
+    ms_per_frame = 1000 * elapsed / frames
+    total_rtf = B * frames / 12.5 / elapsed
+    return {
+        "metric": "realtime_multistream_total_realtime_multiple",
+        "value": round(total_rtf, 2),
+        "unit": "x_realtime",
+        # every stream must hold realtime, so the bar is B x realtime total
+        "vs_baseline": round(total_rtf / B, 3),
+        "detail": {
+            "streams": B, "frames": frames,
+            "ms_per_frame_wall": round(ms_per_frame, 1),
+            "per_stream_x_realtime": round(total_rtf / B, 2),
+            "includes_prefill": True, "int8": True,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def run_batch_server(args) -> dict:
+    """Continuous batching vs a static batch at equal load: N requests with
+    mixed lengths through DelayBatchServer (mid-flight admission) vs the
+    same requests as ceil(N/slots) static batches through DelayEngine."""
+    from mosstts_tpu.core.config import DelayConfig, qwen3_1p7b
+    from mosstts_tpu.engine.batch_server import DelayBatchServer
+    from mosstts_tpu.engine.delay_engine import DelayEngine
+    from mosstts_tpu.models.delay import init_delay_params, make_sampling
+
+    slots = args.batch or 16
+    n_requests = slots * 3
+    cfg = DelayConfig(language_config=qwen3_1p7b(), n_vq=32)
+    from mosstts_tpu.ops.quant import random_quantized_like
+
+    shapes = jax.eval_shape(
+        lambda k: init_delay_params(k, cfg, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    params = random_quantized_like(shapes, seed=0)
+
+    rng = np.random.default_rng(0)
+    prompts = []
+    for i in range(n_requests):
+        T = int(rng.integers(48, 96))
+        g = rng.integers(0, 1000, (T, cfg.channels))
+        g[..., 1:] = rng.integers(0, 1024, (T, cfg.n_vq))
+        g[-1, 0] = cfg.audio_assistant_gen_slot_token_id
+        prompts.append(g)
+    # mixed utterance lengths: the continuous-batching win case
+    max_news = [int(x) for x in rng.integers(args.steps // 2, args.steps,
+                                             n_requests)]
+
+    sampling = make_sampling(text_temperature=1.7, audio_temperature=1.7,
+                             audio_top_p=0.8)
+    server = DelayBatchServer(
+        params, cfg, slots=slots, cache_len=1024, out_capacity=256,
+        prompt_bucket=32, dtype=jnp.bfloat16, sampling=sampling,
+        kv_quant=True,
+    )
+    log(f"[batch-server] warmup (prefill+step compile, {slots} slots)...")
+    wid = server.submit(prompts[0], max_new_tokens=8)
+    server.run(max_steps=50)
+
+    util_samples = []
+    for g, mn in zip(prompts, max_news):
+        server.submit(g, max_new_tokens=mn)
+    t0 = time.perf_counter()
+    done = []
+    for _ in range(100000):
+        done.extend(server.step())
+        util_samples.append(len(server._active) / slots)
+        if not server._active and not server._queue:
+            break
+    cb_elapsed = time.perf_counter() - t0
+    cb_frames = sum(c.steps for c in done)
+    cb_steps = len(util_samples)
+
+    # static batching: same requests, groups of `slots`, each group decodes
+    # to its LONGEST request (the head-of-line blocking continuous batching
+    # removes)
+    engine = DelayEngine(params, cfg, dtype=jnp.bfloat16, cache_bucket=256,
+                         kv_quant=True)
+    log("[batch-server] static-batch comparison...")
+    # warmup static programs
+    pad_T = 96
+    batch_ids = np.stack([
+        np.concatenate([np.full((pad_T - len(g), cfg.channels),
+                                cfg.pad_token_id, np.int64), g])
+        for g in prompts[:slots]])
+    batch_mask = np.stack([
+        np.concatenate([np.zeros(pad_T - len(g), bool), np.ones(len(g), bool)])
+        for g in prompts[:slots]])
+    engine.generate(batch_ids, batch_mask, max_new_tokens=8,
+                    text_temperature=1.7, audio_temperature=1.7)
+    t0 = time.perf_counter()
+    static_frames = 0
+    for i in range(0, n_requests, slots):
+        group = prompts[i:i + slots]
+        mns = max_news[i:i + slots]
+        ids = np.stack([
+            np.concatenate([np.full((pad_T - len(g), cfg.channels),
+                                    cfg.pad_token_id, np.int64), g])
+            for g in group])
+        msk = np.stack([
+            np.concatenate([np.zeros(pad_T - len(g), bool),
+                            np.ones(len(g), bool)])
+            for g in group])
+        engine.generate(ids, msk, max_new_tokens=max(mns),
+                        text_temperature=1.7, audio_temperature=1.7)
+        static_frames += max(mns) * len(group)
+    static_elapsed = time.perf_counter() - t0
+
+    cb_fps = cb_frames / cb_elapsed
+    st_fps = static_frames / static_elapsed
+    return {
+        "metric": "continuous_batching_frames_per_sec",
+        "value": round(cb_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(cb_fps / max(st_fps, 1e-9), 3),  # vs static
+        "detail": {
+            "slots": slots, "requests": n_requests,
+            "decode_steps": cb_steps,
+            "steps_per_sec": round(cb_steps / cb_elapsed, 2),
+            "mean_utilization": round(float(np.mean(util_samples)), 3),
+            "useful_frames": cb_frames,
+            "static_frames_per_sec": round(st_fps, 1),
+            "static_wall_s": round(static_elapsed, 1),
+            "cb_wall_s": round(cb_elapsed, 1),
+            "int8": True, "kv_int8": True,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def run_ttfa(args) -> dict:
     """Measured end-to-end time-to-first-audio for the realtime stack:
     reset -> prefill(turn grid + 12 text tokens) -> frames -> first codec
@@ -165,8 +475,7 @@ def run_ttfa(args) -> dict:
     engine = RealtimeEngine.random_init(seed=0, config=cfg, dtype=jnp.bfloat16)
     engine.quantize("int8")
     proc = RealtimeProcessor(ByteFallbackTokenizer(), channels=cfg.rvq)
-    codec = MossAudioTokenizer.random_init(
-        seed=0, config=CodecConfig(n_q=cfg.rvq))
+    codec, _ = _build_codec(args.codec, n_q=cfg.rvq)
     session = RealtimeStreamingSession(engine, proc, codec=codec)
 
     rng = np.random.default_rng(0)
@@ -214,6 +523,7 @@ def run_ttfa(args) -> dict:
             "runs": args.ttfa_runs,
             "first_chunk_frames": 3,
             "prefill_text_tokens": 12,
+            "codec": args.codec,
             "device": str(jax.devices()[0]),
             "int8": True,
         },
@@ -240,12 +550,49 @@ def main():
                     help="measure end-to-end realtime time-to-first-audio "
                          "instead of decode throughput")
     ap.add_argument("--ttfa-runs", type=int, default=20)
+    ap.add_argument("--codec", choices=["default", "1p6b"], default="default",
+                    help="codec scale for --ttfa / --codec-bench: 'default' "
+                         "~50M, '1p6b' the parity-scale preset (reference "
+                         "Cat codec is 1.6B) with int8 matmul weights")
+    ap.add_argument("--codec-bench", action="store_true",
+                    help="codec encode/decode throughput + streaming chunk "
+                         "latency at the chosen --codec scale")
+    ap.add_argument("--family", choices=["delay", "local", "realtime"],
+                    default="delay",
+                    help="model family for the throughput bench: delay "
+                         "(default, --size applies), local (1.7B depth "
+                         "model), realtime (multi-stream)")
+    ap.add_argument("--batch-server", action="store_true",
+                    help="continuous batching vs static batch at equal load "
+                         "(1.7B, int8 weights + int8 KV)")
     args = ap.parse_args()
     size = "tiny" if args.tiny else args.size
 
     if args.ttfa:
         print(json.dumps(run_ttfa(args)))
         return
+    if args.codec_bench:
+        print(json.dumps(run_codec_bench(args)))
+        return
+    if args.batch_server:
+        print(json.dumps(run_batch_server(args)))
+        return
+    if args.family == "local":
+        print(json.dumps(run_local_family(args)))
+        return
+    if args.family == "realtime":
+        print(json.dumps(run_realtime_family(args)))
+        return
+
+    # Absorb the one-time remote-compile/tunnel warmup (~2 min for the first
+    # program family in a process) into its own measurement so the per-size
+    # prefill_compile_s figures are comparable (round-2 bench showed 72.5 s
+    # for whichever size ran first vs 19.4 s for the second).
+    t0 = time.perf_counter()
+    x = jnp.zeros((512, 512), jnp.bfloat16)
+    jax.device_get(jax.jit(lambda a: a @ a)(x))
+    warmup_s = time.perf_counter() - t0
+    log(f"tunnel/compile warmup absorbed: {warmup_s:.1f}s")
 
     if size == "all":
         sizes = {}
@@ -270,6 +617,7 @@ def main():
         "detail": {
             "headline_size": headline_size,
             "device": str(jax.devices()[0]),
+            "tunnel_warmup_s": round(warmup_s, 1),
             "sizes": sizes,
         },
     }

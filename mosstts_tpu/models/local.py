@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..core.config import LocalConfig, Qwen3Config
 from ..nn.qwen3 import KVCache, init_kv_cache, init_qwen3_params, qwen3_forward
+from ..ops.quant import QuantWeight, take_weight
 from ..ops.basic import dense, rms_norm
 from ..ops.sampling import NEG_INF, apply_repetition_penalty_seen, seen_mask_update
 
@@ -54,7 +55,10 @@ def _mlp(p, x, idx=None):
     if idx is None:
         g, u, d = p["gate"], p["up"], p["down"]
     else:
-        g, u, d = p["gate"][idx], p["up"][idx], p["down"][idx]
+        # take_weight, NOT [idx]: on a stacked QuantWeight, [idx] would
+        # select a NamedTuple FIELD (q/scale), not the idx-th slice
+        g, u, d = (take_weight(p["gate"], idx), take_weight(p["up"], idx),
+                   take_weight(p["down"], idx))
     h = jax.nn.silu(dense(x, g)) * dense(x, u)
     return dense(h, d)
 
@@ -220,7 +224,7 @@ def local_loss(
     for i in range(C - 1):
         y = _mlp(params["mlp_out_audio"], h[:, i + 1], idx=i)
         y = rms_norm(y, params["ln_audio"][i], lcfg.rms_norm_eps)
-        logits = dense(y, params["audio_heads"][i])
+        logits = dense(y, take_weight(params["audio_heads"], i))
         losses.append(ce(logits.reshape(B, T, -1), labels[..., i + 1]))
     loss_all = jnp.stack(losses)
     if channel_weights is None:
@@ -283,17 +287,21 @@ def _depth_decode(params, cfg: LocalConfig, rng, g: jax.Array,
         k, rng_k = xs
         h, cache = depth_step(x, cache, k)
 
-        def slice_k(arr):
-            return jnp.take(arr, k - 1, axis=0)
-
-        mo = {kk: params["mlp_out_audio"][kk] for kk in ("gate", "up", "down")}
-        y = jax.nn.silu(dense(h, slice_k(mo["gate"]))) * dense(h, slice_k(mo["up"]))
-        y = dense(y, slice_k(mo["down"]))
+        mo = params["mlp_out_audio"]
+        y = (jax.nn.silu(dense(h, take_weight(mo["gate"], k - 1)))
+             * dense(h, take_weight(mo["up"], k - 1)))
+        y = dense(y, take_weight(mo["down"], k - 1))
         y = rms_norm(y, jnp.take(params["ln_audio"], k - 1, axis=0), lcfg.rms_norm_eps)
-        logits = jnp.einsum(
-            "bd,dv->bv", y, jnp.take(params["audio_heads"], k - 1, axis=0),
-            preferred_element_type=jnp.float32,
-        )
+        head_k = take_weight(params["audio_heads"], k - 1)
+        if isinstance(head_k, QuantWeight):
+            logits = jnp.einsum(
+                "bd,dv->bv", y, head_k.q.astype(y.dtype),
+                preferred_element_type=jnp.float32,
+            ) * head_k.scale
+        else:
+            logits = jnp.einsum(
+                "bd,dv->bv", y, head_k, preferred_element_type=jnp.float32,
+            )
         logits = logits.at[:, cfg.audio_pad_code].set(NEG_INF)
         seen_k = jax.lax.dynamic_index_in_dim(seen_audio, k - 1, axis=1, keepdims=False)
         do_s = jnp.take(sampling.do_sample, k)

@@ -125,3 +125,13 @@ def quantize_tree(params: Any) -> Any:
         return node
 
     return walk(params)
+
+
+def take_weight(w, idx, axis: int = 0):
+    """``jnp.take`` over a (possibly quantized) stacked weight: selects one
+    slice of a (n, in, out) stack with a traced index, preserving the
+    QuantWeight pairing (q and its per-output-channel scale move together)."""
+    if isinstance(w, QuantWeight):
+        return QuantWeight(q=jnp.take(w.q, idx, axis=axis),
+                           scale=jnp.take(w.scale, idx, axis=axis))
+    return jnp.take(w, idx, axis=axis)

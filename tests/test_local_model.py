@@ -121,3 +121,25 @@ def test_variable_bitrate(engine):
     gen = ids[1:]  # after audio_start row
     # channels beyond n_vq_for_inference are zero-filled (reference :425-427)
     assert (gen[:, 3:] == 0).all()
+
+
+def test_local_engine_quantized_generate():
+    """int8 weight-only serving for the Local family: the per-channel depth
+    scan slices STACKED QuantWeights with a traced index (take_weight keeps
+    q and scale paired; plain [idx] on the NamedTuple would grab a field).
+    Greedy quantized generation must run and emit a valid grid."""
+    import jax.numpy as jnp
+    from mosstts_tpu.engine.local_engine import LocalEngine
+
+    cfg = CFG
+    engine = LocalEngine.random_init(seed=0, config=cfg, dtype=jnp.float32)
+    engine.quantize("int8")
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 500, (2, 8, cfg.channels))
+    ids[:, 3, 0] = cfg.audio_start_token_id
+    outs = engine.generate(ids, max_new_tokens=6,
+                           eos_token_id=cfg.audio_end_token_id, seed=0)
+    for start, grid in outs:
+        assert grid.shape[1] == cfg.channels
+        assert np.isfinite(grid).all()
+        assert (grid[:, 1:] >= 0).all()
