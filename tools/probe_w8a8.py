@@ -100,9 +100,40 @@ def main():
             h = jnp.tanh(y[:, :DIN]).astype(jnp.bfloat16)
         return h
 
+    @jax.jit
+    def dense_exact(x, wq, wscale):
+        """EXACTLY ops.basic.dense's quant path: jnp.dot with the int8
+        operand astype'd to the activation dtype inside the dot, scale on
+        the f32 result."""
+        h = x
+        for i in range(L):
+            y = jnp.dot(h, wq[i].astype(h.dtype),
+                        preferred_element_type=jnp.float32) * wscale[i]
+            h = jnp.tanh(y[:, :DIN]).astype(jnp.bfloat16)
+        return h
+
+    wbf = (wq.astype(jnp.bfloat16)
+           * wscale[:, None, :].astype(jnp.bfloat16))  # bf16 master copy
+
+    @jax.jit
+    def w16a16(x, wbf):
+        """bf16 weights: 2x the bytes but no conversion in the operand
+        stream — the HBM-bandwidth ceiling reference."""
+        h = x
+        for i in range(L):
+            y = jax.lax.dot(h, wbf[i])
+            h = jnp.tanh(y[:, :DIN])
+        return h
+
     results = {}
+    s = bench(w16a16, (x0, wbf), args.iters)
+    results["w16a16_bf16"] = {"ms": round(s * 1000, 2),
+                              "eff_GBps": round(2 * gb / s, 0)}
+    print(f"w16a16_bf16: {s*1000:.2f} ms  ({2*gb/s:.0f} GB/s bf16 weight "
+          f"stream)", flush=True)
     for name, fn in (("w8a16_dequant", w8a16),
                      ("w8a16_mixed_dot", w8a16_scale_after),
+                     ("dense_exact", dense_exact),
                      ("w8a8_int32_acc", w8a8)):
         try:
             s = bench(fn, (x0, wq, wscale), args.iters)
