@@ -206,3 +206,32 @@ def test_delay_decode_sharded_matches_single():
     mask_sh = jax.device_put(mask, NamedSharding(mesh, P("data")))
     out_sh = np.asarray(jax.jit(run)(sharded, ids_sh, mask_sh))
     np.testing.assert_array_equal(out_ref, out_sh)
+
+
+@multi_device
+def test_delay_engine_sharded_on_device_generate():
+    """The zero-host-round-trip while_loop generation path under GSPMD:
+    DelayEngine(mesh=...).generate(on_device=True) must equal the
+    single-device on-device path (donated sharded carries through
+    lax.while_loop segments)."""
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.engine.delay_engine import DelayEngine
+    from mosstts_tpu.models.delay import init_delay_params
+    from mosstts_tpu.parallel.mesh import make_mesh
+
+    cfg = DelayConfig(language_config=tiny_qwen3(vocab_size=512), n_vq=4)
+    params = init_delay_params(jax.random.PRNGKey(8), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    ids = rng.integers(0, 500, (4, 8, cfg.channels))
+    ids[:, 1, 0] = cfg.im_start_token_id
+    ids[:, -1, 0] = cfg.audio_assistant_gen_slot_token_id
+
+    kw = dict(dtype=jnp.float32, cache_bucket=32)
+    gen = dict(max_new_tokens=10, text_temperature=0.0, audio_temperature=0.0,
+               on_device=True)
+    solo = DelayEngine(params, cfg, **kw).generate(ids, **gen)
+    mesh = make_mesh(data=2, model=4)
+    sharded = DelayEngine(params, cfg, mesh=mesh, **kw).generate(ids, **gen)
+    for (s_start, s_toks), (m_start, m_toks) in zip(solo, sharded):
+        assert s_start == m_start
+        np.testing.assert_array_equal(s_toks, m_toks)
