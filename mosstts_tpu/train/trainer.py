@@ -109,7 +109,22 @@ class TTSTrainer:
             specs = {"delay": delay_param_specs, "local": local_param_specs,
                      "realtime": realtime_param_specs}[family]()
             self.params = shard_params(self.params, mesh, specs)
+        self.mesh = mesh
         self.opt_state = self.tx.init(self.params)
+        if mesh is not None:
+            # Moments inherit the params' shardings via zeros_like, but
+            # optax scalars (AdamW count, clip state) come up single-device;
+            # replicate them over the mesh so the whole opt_state carries
+            # consistent committed shardings (a checkpoint restore targets
+            # these shardings — mixed-device pytrees fail the jitted step).
+            from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            self.opt_state = jax.tree.map(
+                lambda x: (jax.device_put(x, rep)
+                           if isinstance(getattr(x, "sharding", None),
+                                         SingleDeviceSharding) else x),
+                self.opt_state)
 
         cw = (jnp.asarray(channel_weights, jnp.float32)
               if channel_weights is not None else None)
@@ -168,6 +183,20 @@ class TTSTrainer:
                        f"loss={rec['loss']:.4f} |g|={rec['grad_norm']:.3f} "
                        f"({rate:.2f} steps/s)")
         return self.history
+
+    def save_state(self, path, *, use_async: bool = False):
+        """Full resumable train state (params + optimizer moments + step)
+        via orbax — see train/checkpoint.py. ``save`` below writes only the
+        model in the serving format."""
+        from .checkpoint import save_train_state
+
+        return save_train_state(path, self, use_async=use_async)
+
+    def restore_state(self, path) -> "TTSTrainer":
+        from .checkpoint import restore_train_state
+
+        restore_train_state(path, self)
+        return self
 
     def save(self, path) -> None:
         from ..utils.save import save_model

@@ -144,3 +144,68 @@ def test_remat_reduces_peak_training_memory():
         pytest.skip("backend exposes no memory analysis")
     assert ckpt.temp_size_in_bytes < plain.temp_size_in_bytes, (
         ckpt.temp_size_in_bytes, plain.temp_size_in_bytes)
+
+
+def test_train_state_checkpoint_resume(tmp_path):
+    """Preemption resume: save the FULL train state (params + optimizer
+    moments + step) mid-run, restore into a fresh trainer, and the
+    continued losses must equal an uninterrupted run exactly — proving the
+    AdamW moments survived (model-only save would diverge)."""
+    cfg = _cfg("delay")
+    rng = np.random.default_rng(21)
+    batches = [synthetic_tts_batch("delay", cfg, rng, batch=2, seq=16)
+               for _ in range(6)]
+
+    straight = TTSTrainer("delay", cfg, peak_lr=3e-3, warmup_steps=2,
+                          total_steps=10)
+    losses_straight = [straight.train_step(b)["loss"] for b in batches]
+
+    first = TTSTrainer("delay", cfg, peak_lr=3e-3, warmup_steps=2,
+                       total_steps=10)
+    for b in batches[:3]:
+        first.train_step(b)
+    first.save_state(tmp_path / "ckpt")
+
+    resumed = TTSTrainer("delay", cfg, seed=123, peak_lr=3e-3,
+                         warmup_steps=2, total_steps=10)
+    resumed.restore_state(tmp_path / "ckpt")
+    assert resumed.step_idx == 3
+    assert len(resumed.history) == 3
+    losses_resumed = [resumed.train_step(b)["loss"] for b in batches[3:]]
+
+    np.testing.assert_allclose(losses_resumed, losses_straight[3:],
+                               rtol=1e-6)
+
+    import pytest as _pytest
+    wrong = TTSTrainer("local", _cfg("local"), total_steps=10)
+    with _pytest.raises(Exception):
+        wrong.restore_state(tmp_path / "ckpt")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_state_checkpoint_resume_sharded(tmp_path):
+    """Resume on a mesh: the orbax restore target carries the trainer's
+    NamedShardings, so a sharded run resumes with identical losses."""
+    from mosstts_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg("delay")
+    mesh = make_mesh(data=2, model=4)
+    rng = np.random.default_rng(31)
+    batches = [synthetic_tts_batch("delay", cfg, rng, batch=2, seq=12)
+               for _ in range(4)]
+
+    a = TTSTrainer("delay", cfg, peak_lr=3e-3, warmup_steps=1,
+                   total_steps=8, mesh=mesh)
+    ref = [a.train_step(b)["loss"] for b in batches]
+
+    b_tr = TTSTrainer("delay", cfg, peak_lr=3e-3, warmup_steps=1,
+                      total_steps=8, mesh=mesh)
+    for b in batches[:2]:
+        b_tr.train_step(b)
+    b_tr.save_state(tmp_path / "sharded")
+
+    c = TTSTrainer("delay", cfg, seed=7, peak_lr=3e-3, warmup_steps=1,
+                   total_steps=8, mesh=mesh)
+    c.restore_state(tmp_path / "sharded")
+    got = [c.train_step(b)["loss"] for b in batches[2:]]
+    np.testing.assert_allclose(got, ref[2:], rtol=1e-6)
