@@ -433,6 +433,40 @@ def run_batch_server(args) -> dict:
 
     cb_fps = cb_frames / cb_elapsed
     st_fps = static_frames / static_elapsed
+
+    def _cache_bytes(server):
+        return int(sum(
+            np.prod(f.shape) * jnp.dtype(f.dtype).itemsize
+            for f in server.state.cache
+            if hasattr(f, "shape") and f.ndim > 2))  # skip the page table
+
+    paged_detail = {}
+    if getattr(args, "paged", False):
+        # same load through the page-pool server: 60% of the linear KV
+        # footprint, decode attention via ops/pallas/paged_attn.py
+        log("[batch-server] paged-KV run (60% pool)...")
+        pserver = DelayBatchServer(
+            params, cfg, slots=slots, cache_len=1024, out_capacity=256,
+            prompt_bucket=32, dtype=jnp.bfloat16, sampling=sampling,
+            kv_quant=True, paged=True, page_size=128,
+        )
+        pserver.submit(prompts[0], max_new_tokens=8)
+        pserver.run(max_steps=50)  # warmup compile
+        for g, mn in zip(prompts, max_news):
+            pserver.submit(g, max_new_tokens=mn)
+        t0 = time.perf_counter()
+        pdone = pserver.run(max_steps=100000)
+        p_elapsed = time.perf_counter() - t0
+        p_frames = sum(c.steps for c in pdone)
+        paged_detail = {
+            "paged_frames_per_sec": round(p_frames / p_elapsed, 1),
+            "paged_vs_linear": round((p_frames / p_elapsed) / max(cb_fps, 1e-9), 3),
+            "paged_preemptions": pserver.total_preemptions,
+            "page_size": 128, "num_pages": pserver.num_pages,
+            "kv_hbm_mb_linear": round(_cache_bytes(server) / 2**20, 1),
+            "kv_hbm_mb_paged": round(_cache_bytes(pserver) / 2**20, 1),
+        }
+
     return {
         "metric": "continuous_batching_frames_per_sec",
         "value": round(cb_fps, 1),
@@ -449,6 +483,7 @@ def run_batch_server(args) -> dict:
             "cb_wall_s": round(cb_elapsed, 1),
             "int8": True, "kv_int8": True,
             "device": str(jax.devices()[0]),
+            **paged_detail,
         },
     }
 
@@ -565,6 +600,11 @@ def main():
     ap.add_argument("--batch-server", action="store_true",
                     help="continuous batching vs static batch at equal load "
                          "(1.7B, int8 weights + int8 KV)")
+    ap.add_argument("--paged", action="store_true",
+                    help="with --batch-server: also run the paged-KV server "
+                         "(60%% page pool, Pallas paged decode attention) "
+                         "over the same load and report throughput + the "
+                         "KV HBM saving")
     args = ap.parse_args()
     size = "tiny" if args.tiny else args.size
 

@@ -227,8 +227,12 @@ class CodecTrainer:
         else:
             self.params, self.opt_state, loss, aux = self._jit_step(
                 self.params, self.opt_state, wav_j)
-        rec = {"step": self.step_idx, "loss": float(jax.device_get(loss))}
-        rec.update({k: float(jax.device_get(v)) for k, v in aux.items()})
+        # ONE host sync for all scalars — each device_get is a full tunnel
+        # round-trip (~34 ms) on this box, so per-metric fetches would cost
+        # more than the step itself
+        loss_v, aux_v = jax.device_get((loss, aux))
+        rec = {"step": self.step_idx, "loss": float(loss_v)}
+        rec.update({k: float(v) for k, v in aux_v.items()})
         self.step_idx += 1
         self.history.append(rec)
         return rec

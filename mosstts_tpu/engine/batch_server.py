@@ -9,6 +9,13 @@ spliced into the running batch — so the chip never drains.
 Built on the per-row-cursor DelayGenState: each slot has its own cache
 cursor (`pos`), step counter, delay-pattern counters, and repetition-penalty
 bitmask, all advanced by the same jitted decode step.
+
+``paged=True`` swaps the per-slot linear KV cache for a shared page pool
+(nn/qwen3.PagedKVCache + ops/pallas/paged_attn.py): slots borrow fixed-size
+pages as their utterances grow and return them on completion, so KV memory
+is sized for the expected load, not slots x cache_len worst case. The
+allocator runs entirely off the host pos mirrors (zero extra device syncs);
+pool exhaustion triggers vLLM-style recompute preemption.
 """
 from __future__ import annotations
 
@@ -29,7 +36,7 @@ from ..models.delay import (
     delay_prefill,
     make_sampling,
 )
-from ..nn.qwen3 import init_kv_cache, init_quant_kv_cache
+from ..nn.qwen3 import init_kv_cache, init_paged_kv_cache, init_quant_kv_cache
 from .delay_engine import attend_bucket
 
 
@@ -49,16 +56,9 @@ class CompletedRequest:
     steps: int
 
 
-def _insert_row(big: DelayGenState, small: DelayGenState, row: int) -> DelayGenState:
-    """Splice a batch-1 prefilled state into slot ``row`` of the running
-    batch (all per-row fields + the slot's cache lane)."""
-    r = row
+def _splice_fields(big: DelayGenState, small: DelayGenState, r: int, cache) -> DelayGenState:
     return DelayGenState(
-        # fieldwise splice works for KVCache and QuantKVCache alike (every
-        # cache field has B on axis 1)
-        cache=type(big.cache)(*(
-            bf.at[:, r].set(sf[:, 0]) for bf, sf in zip(big.cache, small.cache)
-        )),
+        cache=cache,
         kv_valid=big.kv_valid.at[r].set(small.kv_valid[0]),
         cur_ids=big.cur_ids.at[r].set(small.cur_ids[0]),
         pos=big.pos.at[r].set(small.pos[0]),
@@ -78,6 +78,43 @@ def _insert_row(big: DelayGenState, small: DelayGenState, row: int) -> DelayGenS
     )
 
 
+def _insert_row(big: DelayGenState, small: DelayGenState, row: int) -> DelayGenState:
+    """Splice a batch-1 prefilled state into slot ``row`` of the running
+    batch (all per-row fields + the slot's cache lane)."""
+    # fieldwise splice works for KVCache and QuantKVCache alike (every
+    # cache field has B on axis 1)
+    cache = type(big.cache)(*(
+        bf.at[:, row].set(sf[:, 0]) for bf, sf in zip(big.cache, small.cache)
+    ))
+    return _splice_fields(big, small, row, cache)
+
+
+def _insert_row_paged(
+    big: DelayGenState, small: DelayGenState, row: int,
+    pages: jax.Array, table_row: jax.Array, n0: int,
+) -> DelayGenState:
+    """Paged splice: copy the batch-1 LINEAR prefill cache into the ``n0``
+    freshly allocated pool pages and point slot ``row``'s table at them.
+    Pool buffers pair with the small cache's buffers fieldwise (k/v[,
+    k_scale/v_scale]); the table is the pool's last field."""
+    psz = big.cache.page_size
+
+    def scatter(pool_buf, small_buf):
+        blk = small_buf[:, 0, :, : n0 * psz]  # (L, KV, n0*P[, hd])
+        if blk.ndim == 4:
+            L_, KV_, _, hd_ = blk.shape
+            blk = blk.reshape(L_, KV_, n0, psz, hd_).transpose(0, 2, 1, 3, 4)
+        else:
+            L_, KV_, _ = blk.shape
+            blk = blk.reshape(L_, KV_, n0, psz).transpose(0, 2, 1, 3)
+        return pool_buf.at[:, pages].set(blk.astype(pool_buf.dtype))
+
+    pool = big.cache
+    bufs = [scatter(pb, sb) for pb, sb in zip(pool[:-1], small.cache)]
+    cache = type(pool)(*bufs, pool.table.at[row].set(table_row))
+    return _splice_fields(big, small, row, cache)
+
+
 class DelayBatchServer:
     def __init__(
         self,
@@ -95,6 +132,9 @@ class DelayBatchServer:
         kv_quant: bool = False,
         poll_every: int = 4,
         mesh=None,
+        paged: bool = False,
+        page_size: int = 128,
+        num_pages: Optional[int] = None,
     ):
         self.params = params
         self.config = config
@@ -128,12 +168,28 @@ class DelayBatchServer:
                     "splice); shard the backbone on 'model' only")
             self.params = shard_params(self.params, mesh, delay_param_specs())
 
+        # Paged KV: physical storage is a shared page pool; each slot's
+        # logical [0, cache_len) maps through a page table. num_pages sizes
+        # the pool (default: 1 trash page + 60% of the linear footprint —
+        # the memory win paging exists for); admission waits in the queue
+        # when the prompt doesn't fit and decode-time growth draws one page
+        # at a time from the free list.
+        self.paged = paged
+        self.page_size = page_size
+        if paged:
+            assert cache_len % page_size == 0, (cache_len, page_size)
+            full = slots * (cache_len // page_size)
+            self.num_pages = num_pages if num_pages else 1 + (full * 6) // 10
+            self._free_pages = list(range(self.num_pages - 1, 0, -1))
+            self._slot_pages: Dict[int, List[int]] = {s: [] for s in range(slots)}
+
         self._jit: Dict[Any, Any] = {}
         self._ids = itertools.count()
         self._queue: List[_Request] = []
         self._active: Dict[int, _Request] = {}  # slot -> request
         self.state = self._empty_state()
         self.total_steps = 0
+        self.total_preemptions = 0
         # host mirrors of state.pos / state.step (exact: both advance by 1
         # per decode step for every row, stopped or not)
         self._pos_host = np.zeros(self.slots, np.int64)
@@ -143,10 +199,17 @@ class DelayBatchServer:
     def _empty_state(self) -> DelayGenState:
         B, C = self.slots, self.config.channels
         Va = self.config.audio_emb_vocab
+        if self.paged:
+            cache = init_paged_kv_cache(
+                self.config.language_config, B, self.cache_len,
+                num_pages=self.num_pages, page_size=self.page_size,
+                dtype=self.dtype, quant=self.kv_quant)
+        elif self.kv_quant:
+            cache = init_quant_kv_cache(self.config.language_config, B, self.cache_len)
+        else:
+            cache = init_kv_cache(self.config.language_config, B, self.cache_len, self.dtype)
         return DelayGenState(
-            cache=(init_quant_kv_cache(self.config.language_config, B, self.cache_len)
-                   if self.kv_quant else
-                   init_kv_cache(self.config.language_config, B, self.cache_len, self.dtype)),
+            cache=cache,
             kv_valid=jnp.zeros((B, self.cache_len), jnp.bool_),
             cur_ids=jnp.zeros((B, 1, C), jnp.int32),
             pos=jnp.zeros((B,), jnp.int32),
@@ -185,6 +248,59 @@ class DelayBatchServer:
             )
         return self._jit[key]
 
+    def _insert_paged_fn(self, row: int, n0: int):
+        key = ("insertp", row, n0)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda big, small, pages, trow: _insert_row_paged(
+                    big, small, row, pages, trow, n0),
+                donate_argnums=(0,),
+            )
+        return self._jit[key]
+
+    def _table_entry_fn(self):
+        if "table_entry" not in self._jit:
+            self._jit["table_entry"] = jax.jit(
+                lambda t, row, col, pg: t.at[row, col].set(pg),
+                donate_argnums=(0,))
+        return self._jit["table_entry"]
+
+    def _table_clear_fn(self, row: int):
+        key = ("table_clear", row)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda t: t.at[row].set(0), donate_argnums=(0,))
+        return self._jit[key]
+
+    # ---- host page allocator (driven by the pos mirrors: zero syncs) ----
+    def _grow_pages(self, slot: int, upto_slot: int) -> bool:
+        """Ensure slot's logical pages cover write position ``upto_slot``;
+        allocates from the free list and patches the device table. Returns
+        False when the pool is exhausted."""
+        need = min(upto_slot // self.page_size + 1,
+                   self.cache_len // self.page_size)
+        pages = self._slot_pages[slot]
+        while len(pages) < need:
+            if not self._free_pages:
+                return False
+            pg = self._free_pages.pop()
+            tbl = self._table_entry_fn()(
+                self.state.cache.table, slot, len(pages), pg)
+            self.state = self.state._replace(
+                cache=self.state.cache._replace(table=tbl))
+            pages.append(pg)
+        return True
+
+    def _free_slot_pages(self, slot: int):
+        """Return slot's pages to the pool; its table row then points at the
+        trash page 0, so the idle row's masked writes land in trash instead
+        of pages now owned by other slots."""
+        self._free_pages.extend(reversed(self._slot_pages[slot]))
+        self._slot_pages[slot] = []
+        self.state = self.state._replace(
+            cache=self.state.cache._replace(
+                table=self._table_clear_fn(slot)(self.state.cache.table)))
+
     def _step_fn(self, attend: int):
         key = ("step", attend)
         if key not in self._jit:
@@ -208,6 +324,17 @@ class DelayBatchServer:
         cfg = self.config
         matches = np.nonzero(input_ids[:, 0] == cfg.im_start_token_id)[0]
         start_idx = int(matches[-1]) + 3 if len(matches) else 0
+        if self.paged:
+            # reject requests the pool can NEVER satisfy even solo —
+            # otherwise the sole active slot self-preempts forever
+            Tb = (-(-input_ids.shape[0] // self.prompt_bucket)) * self.prompt_bucket
+            worst = min(
+                -(-(Tb + min(max_new_tokens, self.out_capacity)) // self.page_size),
+                self.cache_len // self.page_size)
+            if worst > self.num_pages - 1:
+                raise ValueError(
+                    f"request needs up to {worst} pages but the pool has "
+                    f"{self.num_pages - 1}; raise num_pages or shorten the prompt")
         rid = next(self._ids)
         self._queue.append(_Request(
             request_id=rid, input_ids=input_ids,
@@ -216,9 +343,15 @@ class DelayBatchServer:
         ))
         return rid
 
-    def _admit(self, slot: int, req: _Request):
+    def _admit(self, slot: int, req: _Request) -> bool:
         T = req.input_ids.shape[0]
         Tb = ((T + self.prompt_bucket - 1) // self.prompt_bucket) * self.prompt_bucket
+        if self.paged:
+            n0 = -(-Tb // self.page_size)
+            if len(self._free_pages) < n0:
+                return False  # request waits for pages to free up
+            pages = [self._free_pages.pop() for _ in range(n0)]
+            self._slot_pages[slot] = pages
         ids = np.full((1, Tb, self.config.channels), self.config.audio_pad_code, np.int64)
         ids[..., 0] = self.config.pad_token_id
         ids[0, Tb - T:] = req.input_ids
@@ -226,11 +359,19 @@ class DelayBatchServer:
         mask[0, Tb - T:] = True
         rng = jax.random.PRNGKey(hash(("req", req.request_id)) & 0x7FFFFFFF)
         small = self._prefill_fn(Tb)(self.params, jnp.asarray(ids), jnp.asarray(mask), rng)
-        self.state = self._insert_fn(slot)(self.state, small)
+        if self.paged:
+            trow = np.zeros(self.cache_len // self.page_size, np.int32)
+            trow[:n0] = pages
+            self.state = self._insert_paged_fn(slot, n0)(
+                self.state, small, jnp.asarray(pages, jnp.int32),
+                jnp.asarray(trow))
+        else:
+            self.state = self._insert_fn(slot)(self.state, small)
         self._active[slot] = req
         # mirror the spliced cursors (delay_prefill sets pos=T, step=0)
         self._pos_host[slot] = Tb
         self._step_host[slot] = 0
+        return True
 
     def _fill_free_slots(self):
         if not self._queue:
@@ -240,7 +381,9 @@ class DelayBatchServer:
             if not self._queue:
                 break
             if slot not in busy:
-                self._admit(slot, self._queue.pop(0))
+                if not self._admit(slot, self._queue[0]):
+                    break  # FIFO: wait for pages rather than skip ahead
+                self._queue.pop(0)
 
     def step(self, *, poll: Optional[bool] = None) -> List[CompletedRequest]:
         """Admit queued requests into free slots, run one decode step for the
@@ -257,6 +400,15 @@ class DelayBatchServer:
         self._fill_free_slots()
         if not self._active:
             return []
+        if self.paged:
+            # pos mirrors say which slots write into a fresh logical page
+            # this step; draw from the free list, preempting (recompute
+            # style: prompt+generated requeued at the front) on exhaustion
+            for slot in sorted(self._active):
+                if not self._grow_pages(slot, int(self._pos_host[slot])):
+                    self._preempt(slot)
+            if not self._active:
+                return []
         # attend bucket covers the furthest ACTIVE cursor (idle slots keep
         # advancing but their writes/reads are masked + dropped)
         active = sorted(self._active)
@@ -274,6 +426,32 @@ class DelayBatchServer:
                        for s in active)
             )
         return self._collect() if poll else []
+
+    def _preempt(self, slot: int):
+        """Pool exhausted: evict this slot, folding its generated tokens
+        into the prompt and requeueing at the FRONT (vLLM-style recompute
+        preemption — one extra prefill instead of a crash). Progress needs
+        the pool to hold at least one full stream (cache_len/page_size
+        pages); smaller pools eventually requeue forever."""
+        req = self._active.pop(slot)
+        self.total_preemptions += 1
+        n = int(min(self._step_host[slot], req.max_new_tokens))
+        gen = np.asarray(jax.device_get(self.state.out[slot]))[:n]
+        self._free_slot_pages(slot)
+        # delay_prefill reconstructs the state machine from the grid's LAST
+        # text token (models/delay.py:272-279); a fold ending inside the
+        # delay-drain window (trailing delay_slot rows) would reconstruct
+        # as "not generating audio", so trim back to the last gen-slot row
+        # and let the resumed decode re-decide the drain
+        cfg = self.config
+        while n and gen[n - 1, 0] in (
+                cfg.audio_assistant_delay_slot_token_id, cfg.audio_end_token_id):
+            n -= 1
+        merged = np.concatenate([req.input_ids, gen[:n].astype(np.int64)], axis=0)
+        self._queue.insert(0, _Request(
+            request_id=req.request_id, input_ids=merged,
+            max_new_tokens=req.max_new_tokens - n,
+            start_length=req.start_length + n))
 
     def _collect(self) -> List[CompletedRequest]:
         """One transfer for the stop flags, then one batched transfer for the
@@ -300,6 +478,8 @@ class DelayBatchServer:
                 steps=n,
             ))
             del self._active[slot]
+            if self.paged:
+                self._free_slot_pages(slot)
         return done
 
     def run(self, max_steps: int = 100000) -> List[CompletedRequest]:

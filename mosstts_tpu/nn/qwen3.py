@@ -118,6 +118,70 @@ def init_quant_kv_cache(cfg: Qwen3Config, batch: int, max_len: int) -> QuantKVCa
     )
 
 
+class PagedKVCache(NamedTuple):
+    """KV cache over a shared page pool (vLLM-style, TPU-native): physical
+    storage is ``num_pages`` fixed-size pages shared by all rows; row ``b``'s
+    logical slot ``s`` lives at ``(table[b, s // P], s % P)``. Unallocated
+    table entries point at the reserved trash page 0, which absorbs masked
+    writes (idle batch-server slots) — correctness always rides ``kv_valid``
+    over LOGICAL slots, exactly like the linear cache.
+
+    The reference holds one HF DynamicCache per request
+    (moss_tts_delay/modeling_moss_tts.py:264-276); a page pool is what lets
+    a continuous-batching server size KV memory for the *expected* load
+    instead of slots x max_len worst case."""
+
+    k: jax.Array  # (L, NP, KV, P, hd)
+    v: jax.Array  # (L, NP, KV, P, hd)
+    table: jax.Array  # (B, MP) int32 — logical page -> pool page
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def max_len(self) -> int:
+        return self.table.shape[1] * self.k.shape[3]
+
+
+class QuantPagedKVCache(NamedTuple):
+    """int8 page pool with per-(token, head) absmax scales — the paged
+    counterpart of QuantKVCache (same dequant contract)."""
+
+    k: jax.Array  # (L, NP, KV, P, hd) int8
+    v: jax.Array  # (L, NP, KV, P, hd) int8
+    k_scale: jax.Array  # (L, NP, KV, P) f32
+    v_scale: jax.Array  # (L, NP, KV, P) f32
+    table: jax.Array  # (B, MP) int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def max_len(self) -> int:
+        return self.table.shape[1] * self.k.shape[3]
+
+
+def init_paged_kv_cache(
+    cfg: Qwen3Config, batch: int, max_len: int, num_pages: int,
+    page_size: int = 128, dtype=jnp.bfloat16, quant: bool = False,
+):
+    """``max_len`` is the LOGICAL per-row capacity (the page-table width);
+    ``num_pages`` is the physical pool size including trash page 0."""
+    assert max_len % page_size == 0, (max_len, page_size)
+    mp = max_len // page_size
+    shape = (cfg.num_hidden_layers, num_pages, cfg.num_key_value_heads,
+             page_size, cfg.head_dim)
+    table = jnp.zeros((batch, mp), jnp.int32)
+    if quant:
+        return QuantPagedKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape[:4], jnp.float32), jnp.zeros(shape[:4], jnp.float32),
+            table)
+    return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), table)
+
+
 def _quantize_kv_block(x: jax.Array):
     """(B, KV, T, hd) -> int8 values + (B, KV, T) f32 absmax scales."""
     xf = x.astype(jnp.float32)
@@ -272,9 +336,15 @@ def qwen3_forward(
         # reads only the attended slice. (Passing per-layer cache through
         # scan xs/ys makes XLA materialize a full cache copy every step —
         # ~2x HBM traffic at serving batch sizes.)
-        quant = isinstance(cache, QuantKVCache)
+        quant = isinstance(cache, (QuantKVCache, QuantPagedKVCache))
+        paged = isinstance(cache, (PagedKVCache, QuantPagedKVCache))
         S = cache.max_len
         a_len = attend_len if (attend_len is not None and attend_len < S) else S
+        if paged:
+            psz = cache.page_size
+            n_pool = cache.k.shape[1]
+            table = cache.table
+            assert a_len % psz == 0, (a_len, psz)
         # Pallas flash-decode for the single-token step: streams the cache
         # tiles once per KV head (no per-layer dynamic_slice copy, no fp32
         # cast traffic). Causality rides kv_valid alone, so it needs the
@@ -283,23 +353,39 @@ def qwen3_forward(
             T == 1 and linear_slots and attn_window is None
             and _decode_ok(B, a_len, hd, H, KV)
         )
-        # Quantized-cache prefill: the prompt's attention reads the FRESH
-        # bf16 k/v (exact), only the cache *write* is int8 — valid when this
-        # forward populates a fresh cache from slot 0.
+        # Quantized/paged-cache prefill: the prompt's attention reads the
+        # FRESH bf16 k/v (exact; no pool gather needed), only the cache
+        # *write* is quantized/scattered — valid when this forward populates
+        # a fresh cache from slot 0.
         attend_fresh = (
-            quant and T > 1 and linear_slots and not offset_per_row
+            (quant or paged) and T > 1 and linear_slots and not offset_per_row
             and isinstance(cache_offset, int) and cache_offset == 0
         )
 
-        if offset_per_row:
-            b_idx3 = jnp.arange(B, dtype=jnp.int32)[:, None, None]  # (B,1,1)
+        if offset_per_row or paged:
             kv_idx3 = jnp.arange(KV, dtype=jnp.int32)[None, :, None]  # (1,KV,1)
-            s_idx3 = (cache_offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :])[
-                :, None, :
-            ]  # (B,1,T)
+            off_bt = (
+                (cache_offset[:, None] if offset_per_row
+                 else jnp.full((B, 1), cache_offset, jnp.int32))
+                + jnp.arange(T, dtype=jnp.int32)[None, :]
+            )  # (B, T) absolute write slots
+        if offset_per_row and not paged:
+            b_idx3 = jnp.arange(B, dtype=jnp.int32)[:, None, None]  # (B,1,1)
+            s_idx3 = off_bt[:, None, :]  # (B,1,T)
+        if paged:
+            # logical slot -> (pool page, in-page offset); slots past the
+            # logical capacity map to page index n_pool, which mode="drop"
+            # discards (the linear cache gets the same via OOB s index)
+            lg = jnp.clip(off_bt // psz, 0, table.shape[1] - 1)
+            pg_bt = jnp.where(
+                off_bt < S, jnp.take_along_axis(table, lg, axis=1), n_pool)
+            poff_bt = off_bt % psz
 
         def write_block(buf, blk, li):
             """Store a (B, KV, T, ...) block at the row cursors / offset."""
+            if paged:
+                return buf.at[li, pg_bt[:, None, :], kv_idx3, poff_bt[:, None, :]].set(
+                    blk.astype(buf.dtype), mode="drop")
             if offset_per_row:
                 return buf.at[li, b_idx3, kv_idx3, s_idx3].set(
                     blk.astype(buf.dtype), mode="drop")
@@ -307,6 +393,16 @@ def qwen3_forward(
             return jax.lax.dynamic_update_slice(buf, blk.astype(buf.dtype)[None], idx)
 
         def read_block(buf, li):
+            if paged:
+                # gather the attended logical pages into a linear (B, KV,
+                # a_len, ...) view — the non-kernel fallback path (CPU tests,
+                # small batches); the TPU hot path reads the pool in-place
+                # via ops/pallas/paged_attn.py
+                lay = jax.lax.dynamic_slice(
+                    buf, (li,) + (0,) * (buf.ndim - 1), (1,) + buf.shape[1:])[0]
+                g = jnp.take(lay, table[:, : a_len // psz], axis=0)
+                g = jnp.moveaxis(g, 2, 1)  # (B, KV, n_pa, P, ...)
+                return g.reshape((B, KV, a_len) + buf.shape[4:])
             sizes = (1, B, KV, a_len) + ((hd,) if buf.ndim == 5 else ())
             return jax.lax.dynamic_slice(buf, (li,) + (0,) * (buf.ndim - 1), sizes)[0]
 
@@ -333,6 +429,22 @@ def qwen3_forward(
             if attend_fresh:
                 # exact prompt attention over the fresh bf16 k/v
                 hidden = attend_fresh_kv(lp, hidden, q, k, v)
+            elif use_decode_kernel and paged and quant:
+                from ..ops.pallas.paged_attn import paged_decode_attention_q8
+
+                attn = paged_decode_attention_q8(
+                    q[:, 0], kf, ksc, vf, vsc, table, kv_valid_a, li,
+                    scale=scale, attend_len=a_len,
+                ).reshape(B, 1, H * hd)
+                hidden = ffn(lp, hidden, attn)
+            elif use_decode_kernel and paged:
+                from ..ops.pallas.paged_attn import paged_decode_attention
+
+                attn = paged_decode_attention(
+                    q[:, 0], kf, vf, table, kv_valid_a, li,
+                    scale=scale, attend_len=a_len,
+                ).reshape(B, 1, H * hd)
+                hidden = ffn(lp, hidden, attn)
             elif use_decode_kernel and quant:
                 from ..ops.pallas.decode_attn import decode_attention_q8
 
@@ -376,6 +488,7 @@ def qwen3_forward(
             return ffn(lp, hidden, attn)
 
         L = cfg.num_hidden_layers
+        # the (immutable) page table rides the closure, not the carry
         init_carry = (
             (inputs_embeds, cache.k, cache.v, cache.k_scale, cache.v_scale)
             if quant else (inputs_embeds, cache.k, cache.v)
@@ -384,9 +497,15 @@ def qwen3_forward(
             layer, init_carry,
             (params["layers"], jnp.arange(L, dtype=jnp.int32)),
         )
-        if quant:
+        if quant and paged:
+            hidden = carry_out[0]
+            new_cache = QuantPagedKVCache(*carry_out[1:], table)
+        elif quant:
             hidden = carry_out[0]
             new_cache = QuantKVCache(*carry_out[1:])
+        elif paged:
+            hidden, new_k, new_v = carry_out
+            new_cache = PagedKVCache(new_k, new_v, table)
         else:
             hidden, new_k, new_v = carry_out
             new_cache = KVCache(new_k, new_v)

@@ -97,3 +97,58 @@ def test_batch_server_kv_quant_runs():
     for c in done:
         assert c.tokens.shape[1] == CFG.channels
         assert np.isfinite(c.tokens).all()
+
+
+def test_paged_server_matches_linear():
+    """paged=True must reproduce the linear server's greedy outputs exactly
+    (the page pool relocates physical storage only), across enough
+    sequential waves that pages get recycled between requests."""
+    params = init_delay_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    proc = DelayProcessor(ByteFallbackTokenizer(), None, CFG)
+    kw = dict(slots=2, cache_len=256, out_capacity=64, prompt_bucket=32,
+              dtype=jnp.float32,
+              sampling=make_sampling(text_temperature=0.0, audio_temperature=0.0))
+    lin = DelayBatchServer(params, CFG, **kw)
+    pgd = DelayBatchServer(params, CFG, paged=True, page_size=64, **kw)
+    assert pgd.num_pages < 1 + 2 * (256 // 64), "pool must be < linear footprint"
+
+    grids = [_continuation_grid(proc, f"paged wave {i}", seed=40 + i)
+             for i in range(5)]
+    for wave in (grids[:3], grids[3:]):  # second wave reuses freed pages
+        rl = [lin.submit(g, max_new_tokens=24) for g in wave]
+        rp = [pgd.submit(g, max_new_tokens=24) for g in wave]
+        dl = {c.request_id: c for c in lin.run(max_steps=500)}
+        dp = {c.request_id: c for c in pgd.run(max_steps=500)}
+        assert sorted(dl) == sorted(rl) and sorted(dp) == sorted(rp)
+        for a, b in zip(rl, rp):
+            np.testing.assert_array_equal(
+                dl[a].tokens, dp[b].tokens,
+                err_msg="paged decode diverged from linear")
+    assert not pgd._free_pages or len(pgd._free_pages) == pgd.num_pages - 1
+
+
+def test_paged_preemption_recovers():
+    """A pool sized for ~one stream forces recompute preemption under two
+    concurrent requests; both must still complete with valid grids."""
+    params = init_delay_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    proc = DelayProcessor(ByteFallbackTokenizer(), None, CFG)
+    server = DelayBatchServer(
+        params, CFG, slots=2, cache_len=256, out_capacity=64,
+        prompt_bucket=32, dtype=jnp.float32, paged=True, page_size=32,
+        # continuation prompt is 185 rows -> bucketed 192 -> 6 pages/stream
+        # at admit, growing to 8 by pos 240. 14 usable pages admit both
+        # (12) but cannot cover 2x8, so the streams MUST collide at a page
+        # boundary and one gets recompute-preempted
+        num_pages=1 + 14,
+        sampling=make_sampling(text_temperature=0.0, audio_temperature=0.0))
+    grids = [_continuation_grid(proc, f"preempt me {i}", seed=60 + i)
+             for i in range(2)]
+    rids = [server.submit(g, max_new_tokens=48) for g in grids]
+    done = server.run(max_steps=2000)
+    assert sorted(c.request_id for c in done) == sorted(rids)
+    for c in done:
+        assert c.tokens.shape[1] == CFG.channels
+        assert np.isfinite(c.tokens).all()
+    # pool fully drained back after completion, and preemption really fired
+    assert len(server._free_pages) == server.num_pages - 1
+    assert server.total_preemptions >= 1
