@@ -379,8 +379,9 @@ def run_batch_server(args) -> dict:
         kv_quant=True,
     )
     log(f"[batch-server] warmup (prefill+step compile, {slots} slots)...")
-    wid = server.submit(prompts[0], max_new_tokens=8)
-    server.run(max_steps=50)
+    # all programs the load below can hit: prompt buckets 64/96 (lengths
+    # are 48..96 at prompt_bucket=32), attend stays in the 256 bucket
+    server.warmup(prompt_lens=(64, 96), attend_upto=256)
 
     util_samples = []
     for g, mn in zip(prompts, max_news):
@@ -450,8 +451,7 @@ def run_batch_server(args) -> dict:
             prompt_bucket=32, dtype=jnp.bfloat16, sampling=sampling,
             kv_quant=True, paged=True, page_size=128,
         )
-        pserver.submit(prompts[0], max_new_tokens=8)
-        pserver.run(max_steps=50)  # warmup compile
+        pserver.warmup(prompt_lens=(64, 96), attend_upto=256)
         for g, mn in zip(prompts, max_news):
             pserver.submit(g, max_new_tokens=mn)
         t0 = time.perf_counter()

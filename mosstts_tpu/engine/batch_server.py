@@ -239,20 +239,22 @@ class DelayBatchServer:
             )
         return self._jit[key]
 
-    def _insert_fn(self, row: int):
-        key = ("insert", row)
-        if key not in self._jit:
-            self._jit[key] = jax.jit(
-                lambda big, small: _insert_row(big, small, row),
-                donate_argnums=(0,),
-            )
-        return self._jit[key]
+    # `row` is a TRACED argument in the splice/table programs below: keying
+    # the jit cache on the slot index compiled a separate program per row
+    # (16 slots = 16 remote compiles, each surfacing as a 0.5-0.9 s stall
+    # the first time a slot was reused mid-serve — measured in
+    # tools/probe_paged_bench_trace.py). One program covers every slot.
+    def _insert_fn(self):
+        if "insert" not in self._jit:
+            self._jit["insert"] = jax.jit(
+                _insert_row, donate_argnums=(0,))
+        return self._jit["insert"]
 
-    def _insert_paged_fn(self, row: int, n0: int):
-        key = ("insertp", row, n0)
+    def _insert_paged_fn(self, n0: int):
+        key = ("insertp", n0)
         if key not in self._jit:
             self._jit[key] = jax.jit(
-                lambda big, small, pages, trow: _insert_row_paged(
+                lambda big, small, row, pages, trow: _insert_row_paged(
                     big, small, row, pages, trow, n0),
                 donate_argnums=(0,),
             )
@@ -265,12 +267,11 @@ class DelayBatchServer:
                 donate_argnums=(0,))
         return self._jit["table_entry"]
 
-    def _table_clear_fn(self, row: int):
-        key = ("table_clear", row)
-        if key not in self._jit:
-            self._jit[key] = jax.jit(
-                lambda t: t.at[row].set(0), donate_argnums=(0,))
-        return self._jit[key]
+    def _table_clear_fn(self):
+        if "table_clear" not in self._jit:
+            self._jit["table_clear"] = jax.jit(
+                lambda t, row: t.at[row].set(0), donate_argnums=(0,))
+        return self._jit["table_clear"]
 
     # ---- host page allocator (driven by the pos mirrors: zero syncs) ----
     def _grow_pages(self, slot: int, upto_slot: int) -> bool:
@@ -299,7 +300,7 @@ class DelayBatchServer:
         self._slot_pages[slot] = []
         self.state = self.state._replace(
             cache=self.state.cache._replace(
-                table=self._table_clear_fn(slot)(self.state.cache.table)))
+                table=self._table_clear_fn()(self.state.cache.table, slot)))
 
     def _step_fn(self, attend: int):
         key = ("step", attend)
@@ -362,11 +363,11 @@ class DelayBatchServer:
         if self.paged:
             trow = np.zeros(self.cache_len // self.page_size, np.int32)
             trow[:n0] = pages
-            self.state = self._insert_paged_fn(slot, n0)(
-                self.state, small, jnp.asarray(pages, jnp.int32),
+            self.state = self._insert_paged_fn(n0)(
+                self.state, small, slot, jnp.asarray(pages, jnp.int32),
                 jnp.asarray(trow))
         else:
-            self.state = self._insert_fn(slot)(self.state, small)
+            self.state = self._insert_fn()(self.state, small, slot)
         self._active[slot] = req
         # mirror the spliced cursors (delay_prefill sets pos=T, step=0)
         self._pos_host[slot] = Tb
@@ -436,7 +437,9 @@ class DelayBatchServer:
         req = self._active.pop(slot)
         self.total_preemptions += 1
         n = int(min(self._step_host[slot], req.max_new_tokens))
-        gen = np.asarray(jax.device_get(self.state.out[slot]))[:n]
+        # full-buffer fetch: out[slot] with a static index would compile one
+        # slice program per slot (same trap as _collect's gather)
+        gen = np.asarray(jax.device_get(self.state.out))[slot, :n]
         self._free_slot_pages(slot)
         # delay_prefill reconstructs the state machine from the grid's LAST
         # text token (models/delay.py:272-279); a fold ending inside the
@@ -463,8 +466,13 @@ class DelayBatchServer:
         ]
         if not finished:
             return []
-        rows = np.asarray([slot for slot, _ in finished])
-        outs = np.asarray(jax.device_get(self.state.out[rows]))
+        # fetch the WHOLE out buffer in one fixed-shape transfer: indexing
+        # state.out[rows] on device would compile a gather program per
+        # distinct finished-count (measured as ~0.5-3 s first-completion
+        # stalls); the full buffer is slots x out_capacity x C int32 —
+        # sub-MB, cheaper than one compile amortized over any run
+        outs_all = np.asarray(jax.device_get(self.state.out))
+        outs = outs_all[[slot for slot, _ in finished]]
         done: List[CompletedRequest] = []
         for (slot, req), gen_full in zip(finished, outs):
             n = int(min(self._step_host[slot], req.max_new_tokens))
@@ -490,6 +498,49 @@ class DelayBatchServer:
             if not self._active and not self._queue:
                 break
         return out
+
+    def warmup(self, *, prompt_lens=(64,), attend_upto: Optional[int] = None):
+        """Compile every program the serving loop can hit, so live traffic
+        never stalls on a (minutes-long on this box) remote compile: the
+        prefill + insert programs for each prompt-length bucket in
+        ``prompt_lens``, the collect transfers, and the decode step at every
+        attend bucket up to ``attend_upto`` (default: the full cache).
+
+        Runs real dummy requests through the normal submit/run path (so the
+        programs compiled are exactly the serving ones), then drives the
+        step program across the remaining attend buckets on the idle state —
+        idle rows' cache writes are masked and their out writes drop, and an
+        admission overwrites every per-row field, so the extra idle steps
+        cannot leak into later requests."""
+        assert not self._active and not self._queue, "warmup on a busy server"
+        cfg = self.config
+        for T in prompt_lens:
+            g = np.full((int(T), cfg.channels), cfg.audio_pad_code, np.int64)
+            g[:, 0] = cfg.pad_token_id
+            g[-1, 0] = cfg.audio_assistant_gen_slot_token_id
+            self.submit(g, max_new_tokens=2)
+        self.run()
+        if self.paged:
+            # compile the page-growth table write too (first fires mid-serve
+            # when a slot's pos crosses a page boundary; the dummy requests
+            # above are too short to hit it). Python-int args to match
+            # _grow_pages' weak-typed jit signature. Rows are cleared
+            # post-run, so writing 0 to cell (0, 0) changes nothing.
+            self.state = self.state._replace(
+                cache=self.state.cache._replace(
+                    table=self._table_entry_fn()(
+                        self.state.cache.table, 0, 0, 0)))
+        upto = min(attend_upto or self.cache_len, self.cache_len)
+        pos, seen = 2, set()
+        while True:
+            a = attend_bucket(pos, 256, self.cache_len)
+            if a not in seen:
+                seen.add(a)
+                self.state = self._step_fn(a)(self.params, self.state)
+            if a >= upto:
+                break
+            pos = a + 1
+        jax.device_get(self.state.pos)  # wait out the compiles
 
     @property
     def utilization(self) -> float:

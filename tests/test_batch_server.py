@@ -152,3 +152,30 @@ def test_paged_preemption_recovers():
     # pool fully drained back after completion, and preemption really fired
     assert len(server._free_pages) == server.num_pages - 1
     assert server.total_preemptions >= 1
+
+
+def test_warmup_then_serve_unchanged():
+    """warmup() precompiles the serving programs on dummy traffic; outputs
+    of real requests after a warmup must match a never-warmed server
+    (idle-row steps during warmup must not leak into admitted slots)."""
+    params = init_delay_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    proc = DelayProcessor(ByteFallbackTokenizer(), None, CFG)
+    kw = dict(slots=2, cache_len=256, out_capacity=64, prompt_bucket=32,
+              dtype=jnp.float32,
+              sampling=make_sampling(text_temperature=0.0, audio_temperature=0.0))
+    grids = [_continuation_grid(proc, f"warm {i}", seed=60 + i) for i in range(3)]
+
+    for paged in (False, True):
+        pkw = dict(kw, paged=True, page_size=64) if paged else kw
+        cold = DelayBatchServer(params, CFG, **pkw)
+        warm = DelayBatchServer(params, CFG, **pkw)
+        warm.warmup(prompt_lens=(32, 64), attend_upto=256)
+        assert not warm._active and not warm._queue
+        rc = [cold.submit(g, max_new_tokens=24) for g in grids]
+        rw = [warm.submit(g, max_new_tokens=24) for g in grids]
+        dc = {c.request_id: c for c in cold.run(max_steps=500)}
+        dw = {c.request_id: c for c in warm.run(max_steps=500)}
+        for a, b in zip(rc, rw):
+            np.testing.assert_array_equal(
+                dc[a].tokens, dw[b].tokens,
+                err_msg=f"warmup changed outputs (paged={paged})")
