@@ -17,7 +17,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: Optional[int] = None, model: Optional[int] = None,
-              devices=None) -> Mesh:
+              devices=None, dcn: int = 1) -> Mesh:
+    """('data', 'model') mesh over ``devices``.
+
+    ``dcn > 1`` builds the cross-slice (fleet) mesh: ``dcn`` pod slices
+    joined by data-center network, each slice an ICI domain of
+    ``data//dcn x model`` chips. The axis names stay ('data', 'model') —
+    every sharding rule in this module works unchanged — but the device
+    order makes the 'data' axis MAJOR dimension cross the slice boundary,
+    so the only collectives that ride DCN are the batch/gradient ones
+    (params replicate over 'data'; an all-reduce over 'data' decomposes
+    into intra-slice reduce + one cross-slice exchange), while every
+    'model' (TP) collective stays inside one slice on ICI. This is the
+    standard multislice recipe (jax mesh_utils hybrid meshes); on real
+    multislice hardware the hybrid builder orders devices by slice id, and
+    on homogeneous device sets (CPU simulation, single slice) contiguous
+    groups of ``n/dcn`` devices stand in for slices.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None and model is None:
@@ -29,7 +45,25 @@ def make_mesh(data: Optional[int] = None, model: Optional[int] = None,
         model = n // data
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    if dcn > 1:
+        if data % dcn != 0:
+            raise ValueError(
+                f"data={data} not divisible by dcn={dcn}: the cross-slice "
+                "axis replicates the model dimension per slice")
+        try:  # real multislice: order devices by slice via the hybrid builder
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data // dcn, model), (dcn, 1), devices=devices,
+            )
+        except Exception:
+            # simulation / single-granule device sets: contiguous groups of
+            # n/dcn devices act as slices; (dcn, data/dcn, model) collapsed
+            # on the first two axes keeps slice-major order on 'data'
+            arr = np.asarray(devices).reshape(dcn, data // dcn, model)
+            arr = arr.reshape(data, model)
+    else:
+        arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -209,6 +209,49 @@ def test_delay_decode_sharded_matches_single():
 
 
 @multi_device
+def test_dcn_multislice_mesh_matches_single():
+    """Cross-slice (DCN) fleet mesh: make_mesh(dcn=N) keeps the
+    ('data','model') axis names — every sharding rule unchanged — but
+    orders devices slice-major on 'data' so TP collectives stay intra-slice
+    (ICI) and only data/gradient collectives cross DCN. Numerics must match
+    single-device exactly as for the flat mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.models.delay import delay_train_step, init_delay_params
+    from mosstts_tpu.parallel.mesh import delay_param_specs, make_mesh, shard_params
+
+    mesh = make_mesh(data=4, model=2, dcn=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2)
+    # slice-major: rows [0,1] are slice 0, rows [2,3] slice 1 — each
+    # model-axis row (TP group) sits entirely inside one slice
+    flat = mesh.devices.reshape(2, 2, 2)
+    slice0 = {d.id for d in flat[0].ravel()}
+    slice1 = {d.id for d in flat[1].ravel()}
+    assert slice0.isdisjoint(slice1)
+
+    cfg = DelayConfig(language_config=tiny_qwen3(vocab_size=512), n_vq=8)
+    params = init_delay_params(jax.random.PRNGKey(9), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    B, T = 4, 12
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 500, (B, T, cfg.channels))),
+        "attention_mask": jnp.ones((B, T), jnp.bool_),
+        "labels": jnp.asarray(rng.integers(0, 500, (B, T, cfg.channels))),
+    }
+    _, loss_ref, _ = jax.jit(lambda p, b: delay_train_step(p, cfg, b))(params, batch)
+
+    sharded = shard_params(params, mesh, delay_param_specs())
+    batch_sh = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                for k, v in batch.items()}
+    _, loss_sh, _ = jax.jit(lambda p, b: delay_train_step(p, cfg, b))(sharded, batch_sh)
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=2e-5)
+
+    with pytest.raises(ValueError):
+        make_mesh(data=4, model=2, dcn=3)  # 4 % 3 != 0
+
+
+@multi_device
 def test_delay_engine_sharded_on_device_generate():
     """The zero-host-round-trip while_loop generation path under GSPMD:
     DelayEngine(mesh=...).generate(on_device=True) must equal the
