@@ -236,8 +236,14 @@ def qwen3_forward(
     attend_len: Optional[int] = None,
     output_hidden_states: bool = False,
     remat: bool = False,
+    final_norm: bool = True,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Returns (last_hidden_state (B,T,D), updated cache or None).
+
+    ``final_norm=False`` skips the final RMSNorm — a pipeline stage runs a
+    SLICE of the layer stack (params with only that stage's "layers"), and
+    only the last stage's output gets the final norm (applied by the
+    caller; see parallel/pipeline.py).
 
     ``remat=True`` wraps the layer body in ``jax.checkpoint`` (no-cache /
     training path only): activations inside each layer are recomputed in
@@ -257,6 +263,8 @@ def qwen3_forward(
     hd, H, KV = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     scale = hd ** -0.5
     eps = cfg.rms_norm_eps
+    if output_hidden_states and not final_norm:
+        raise ValueError("output_hidden_states requires final_norm=True")
 
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # (B, T, hd)
 
@@ -535,7 +543,8 @@ def qwen3_forward(
             )
             return hidden, (new_cache, all_hs)
 
-    hidden = rms_norm(hidden, params["final_norm"], eps)
+    if final_norm:
+        hidden = rms_norm(hidden, params["final_norm"], eps)
     return hidden, new_cache
 
 
