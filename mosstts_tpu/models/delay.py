@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.config import DelayConfig
 from ..nn.qwen3 import (KVCache, init_kv_cache, init_quant_kv_cache,
@@ -36,7 +37,12 @@ from ..ops.sampling import (
     find_last_equal,
 )
 
-SENTINEL = jnp.int32(1 << 30)
+# Plain numpy scalar, NOT jnp: a module-level jnp constant dispatches an
+# eager convert_element_type onto the default backend at IMPORT time —
+# on this environment's remote-TPU tunnel, importing the package with a
+# skewed libtpu then dies before any entry point runs (this was the root
+# cause of two rounds of red multichip driver artifacts).
+SENTINEL = np.int32(1 << 30)
 NEG_INF = -1e30
 
 
