@@ -110,6 +110,7 @@ def delay_forward(
     logits_len: Optional[int] = None,
     text_lazy: bool = False,
     remat: bool = False,
+    pipeline=None,  # (Mesh with a 'stage' axis, n_micro) — training only
 ) -> Tuple[jax.Array, jax.Array, Optional[KVCache]]:
     """Returns (text_logits (B,T,V), audio_logits (B,T,n_vq,Va), cache).
     The last audio vocab index (== pad code) is masked to -inf, matching
@@ -167,11 +168,26 @@ def delay_forward(
             )
         audio_logits = audio_logits.at[..., -1].set(NEG_INF)
         return text_out, audio_logits, cache
-    hidden, cache = qwen3_forward(
-        params["backbone"], cfg.language_config, embeds,
-        positions=positions, kv_valid=kv_valid, cache=cache, cache_offset=cache_offset,
-        attend_len=attend_len, remat=remat,
-    )
+    if pipeline is not None:
+        # GPipe over the 'stage' mesh axis (parallel/pipeline.py): the
+        # embed sum and the 33 heads stay replicated (tiny vs the stack);
+        # only the layer scan is staged. No-cache/training path only.
+        if cache is not None:
+            raise ValueError("pipeline= is a training-path option (no cache)")
+        from ..parallel.pipeline import pipelined_qwen3_forward
+
+        pp_mesh, n_micro = pipeline
+        hidden = pipelined_qwen3_forward(
+            params["backbone"], cfg.language_config, embeds,
+            positions=positions, kv_valid=kv_valid,
+            mesh=pp_mesh, n_micro=n_micro, remat=remat,
+        )
+    else:
+        hidden, cache = qwen3_forward(
+            params["backbone"], cfg.language_config, embeds,
+            positions=positions, kv_valid=kv_valid, cache=cache, cache_offset=cache_offset,
+            attend_len=attend_len, remat=remat,
+        )
     if logits_len is not None:
         hidden = hidden[:, -logits_len:]
     if text_lazy:
@@ -549,6 +565,7 @@ def delay_loss(
     labels: jax.Array,  # (B, T, C), -100 = ignore
     channelwise_loss_weight: Optional[jax.Array] = None,  # (C,)
     remat: bool = False,
+    pipeline=None,
 ):
     """Multi-channel CE training loss (reference forward :302-378): summed
     per-sample/per-channel losses normalised by valid-token counts, with
@@ -557,7 +574,7 @@ def delay_loss(
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
     text_logits, audio_logits, _ = delay_forward(
         params, cfg, ids, positions=positions, kv_valid=attention_mask,
-        remat=remat,
+        remat=remat, pipeline=pipeline,
     )
 
     def ce(logits, lab):

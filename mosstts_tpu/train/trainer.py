@@ -89,9 +89,12 @@ class TTSTrainer:
     def __init__(self, family: str, cfg, *, seed: int = 0,
                  peak_lr: float = 1e-4, warmup_steps: int = 100,
                  total_steps: int = 10_000, dtype=jnp.float32,
-                 mesh=None, channel_weights=None, remat: bool = False):
+                 mesh=None, channel_weights=None, remat: bool = False,
+                 pipeline=None):
         if family not in _FAMILIES:
             raise ValueError(f"unknown family {family!r}; pick from {sorted(_FAMILIES)}")
+        if pipeline is not None and family != "delay":
+            raise ValueError("pipeline= is supported for the delay family")
         init_fn, loss_fn, _ = _FAMILIES[family]
         self.family = family
         self.cfg = cfg
@@ -135,12 +138,18 @@ class TTSTrainer:
         # storing them — required for the 8B at real sequence lengths on a
         # v5e slice. Loss-equal with remat off (tests/test_tts_trainer.py).
         self.remat = bool(remat)
+        # pipeline=(Mesh with a 'stage' axis, n_micro): GPipe over the
+        # backbone layer stack (parallel/pipeline.py) for training runs
+        # whose layers exceed one slice. Delay family only (validated at the
+        # top); loss-equal with pipeline off
+        # (tests/test_pipeline.py::test_trainer_pipeline_matches_plain).
+        self.pipeline = pipeline
 
         def batch_loss(p, b):
             if family == "delay":
                 return delay_loss(p, cfg, b["input_ids"], b["attention_mask"],
                                   b["labels"], channelwise_loss_weight=cw,
-                                  remat=self.remat)
+                                  remat=self.remat, pipeline=self.pipeline)
             if family == "local":
                 return local_loss(p, cfg, b["input_ids"], b["attention_mask"],
                                   b["labels"], channel_weights=cw,

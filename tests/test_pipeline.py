@@ -105,6 +105,34 @@ def test_pipelined_remat_matches():
                                    rtol=1e-5, atol=1e-6)
 
 
+@multi_device
+def test_trainer_pipeline_matches_plain():
+    """TTSTrainer(pipeline=(mesh, n_micro)) — the full delay train step
+    (loss + AdamW update) through the GPipe schedule equals the plain
+    trainer step on the same batch."""
+    from mosstts_tpu.core.config import DelayConfig, tiny_qwen3
+    from mosstts_tpu.parallel.pipeline import make_pp_mesh
+    from mosstts_tpu.train.trainer import TTSTrainer, synthetic_tts_batch
+
+    cfg = DelayConfig(
+        language_config=tiny_qwen3(vocab_size=512, num_hidden_layers=4),
+        n_vq=4)
+    rng = np.random.default_rng(3)
+    batch = synthetic_tts_batch("delay", cfg, rng, batch=4, seq=10)
+
+    plain = TTSTrainer("delay", cfg, seed=7)
+    rec0 = plain.train_step(batch)
+
+    pp = TTSTrainer("delay", cfg, seed=7,
+                    pipeline=(make_pp_mesh(4), 2))
+    rec1 = pp.train_step(batch)
+    np.testing.assert_allclose(rec0["loss"], rec1["loss"], rtol=1e-5)
+    np.testing.assert_allclose(rec0["grad_norm"], rec1["grad_norm"], rtol=1e-4)
+
+    with pytest.raises(ValueError):
+        TTSTrainer("local", cfg, pipeline=(make_pp_mesh(4), 2))
+
+
 def test_split_stages_errors():
     from mosstts_tpu.parallel.pipeline import split_stages
 
