@@ -412,8 +412,12 @@ def run_batch_server(args) -> dict:
     batch_mask = np.stack([
         np.concatenate([np.zeros(pad_T - len(g), bool), np.ones(len(g), bool)])
         for g in prompts[:slots]])
-    engine.generate(batch_ids, batch_mask, max_new_tokens=8,
-                    text_temperature=1.7, audio_temperature=1.7)
+    # on_device=True gives the static baseline the same zero-host-sync
+    # decode discipline as the server (lax.while_loop segments), so the
+    # measured gap is continuous batching itself, not host round-trips
+    engine.generate(batch_ids, batch_mask, max_new_tokens=max(max_news),
+                    text_temperature=1.7, audio_temperature=1.7,
+                    on_device=True)
     t0 = time.perf_counter()
     static_frames = 0
     for i in range(0, n_requests, slots):
@@ -428,7 +432,8 @@ def run_batch_server(args) -> dict:
                             np.ones(len(g), bool)])
             for g in group])
         engine.generate(ids, msk, max_new_tokens=max(mns),
-                        text_temperature=1.7, audio_temperature=1.7)
+                        text_temperature=1.7, audio_temperature=1.7,
+                        on_device=True)
         static_frames += max(mns) * len(group)
     static_elapsed = time.perf_counter() - t0
 
