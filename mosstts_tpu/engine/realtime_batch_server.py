@@ -1,0 +1,326 @@
+"""Continuous-batching server for the Realtime (streaming) family.
+
+Serves many concurrent realtime conversations on one chip — well beyond the
+reference, whose streaming app handles ONE request at a time
+(moss_tts_realtime/app.py queues at concurrency 1). A fixed pool of slots
+decodes frames in lock-step; when a conversation finishes, a queued request
+is admitted into its slot mid-flight: prefilled at batch 1 through the
+scalar-cursor path and spliced into the running per-row-cursor state.
+
+Mechanics mirror DelayBatchServer (engine/batch_server.py): the decode step
+needs ZERO host syncs — frames accumulate on device in the state's history
+buffer, text tokens stream host→device per step (an enqueue, not a sync),
+the attend bucket comes from host cursor upper bounds, and the device is
+consulted (one stop-flag transfer) every ``poll_every`` steps. The enabling
+model change is RealtimeState with (B,) per-row ``cur_len``/``hist_len``
+cursors (models/realtime.py): slots sit at different conversation lengths,
+and the backbone writes each row's KV at its own cursor
+(qwen3_forward per-row cache_offset scatter).
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import RealtimeConfig
+from ..models.realtime import (
+    RealtimeSampling,
+    RealtimeState,
+    init_realtime_srv_state,
+    init_realtime_state,
+    make_rt_sampling,
+    realtime_decode_step,
+    realtime_prefill_step,
+)
+from .delay_engine import attend_bucket
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class _RTRequest:
+    request_id: int
+    grid: np.ndarray  # (T, 1+rvq) turn grid from RealtimeProcessor
+    text_ids: List[int]
+    max_new_tokens: int
+    prefill_text_len: int
+
+
+@dataclass
+class CompletedStream:
+    request_id: int
+    frames: np.ndarray  # (T, rvq) generated frames, trimmed at EOS
+    steps: int  # frames generated (incl. any post-EOS poll slack)
+
+
+def _insert_rt_row(big: RealtimeState, small: RealtimeState, row, pos0) -> RealtimeState:
+    """Splice a batch-1 scalar-cursor prefilled state into slot ``row`` of
+    the running per-row-cursor batch. ``row``/``pos0`` are traced so ONE
+    compiled program covers every slot (same lesson as the delay server's
+    insert: per-slot jit keys cost a remote compile per slot)."""
+    cache = type(big.cache)(*(
+        bf.at[:, row].set(sf[:, 0]) for bf, sf in zip(big.cache, small.cache)
+    ))
+    return RealtimeState(
+        cache=cache,
+        kv_valid=big.kv_valid.at[row].set(small.kv_valid[0]),
+        cur_len=big.cur_len.at[row].set(pos0),
+        last_audio=big.last_audio.at[row].set(small.last_audio[0]),
+        is_stopping=big.is_stopping.at[row].set(small.is_stopping[0]),
+        history=big.history.at[row].set(small.history[0]),
+        hist_len=big.hist_len.at[row].set(small.hist_len),
+        rng=big.rng,
+    )
+
+
+class RealtimeBatchServer:
+    def __init__(
+        self,
+        params,
+        config: RealtimeConfig,
+        *,
+        slots: int = 8,
+        cache_len: int = 1024,
+        max_frames: int = 256,
+        prompt_bucket: int = 16,
+        dtype=jnp.bfloat16,
+        sampling: Optional[RealtimeSampling] = None,
+        top_k: int = 30,
+        poll_every: int = 4,
+        text_pad_id: int = 151655,
+        pad_token_id: int = 151643,
+    ):
+        self.params = params
+        self.config = config
+        self.slots = slots
+        self.cache_len = cache_len
+        self.max_frames = max_frames
+        self.prompt_bucket = prompt_bucket
+        self.dtype = dtype
+        self.sampling = sampling or make_rt_sampling()
+        self.top_k = top_k
+        self.poll_every = poll_every
+        self.text_pad_id = text_pad_id
+        self.pad_token_id = pad_token_id
+
+        self._jit: Dict[Any, Any] = {}
+        self._ids = itertools.count()
+        self._queue: List[_RTRequest] = []
+        self._active: Dict[int, _RTRequest] = {}
+        self._text_rest: Dict[int, List[int]] = {}  # slot -> tokens to feed
+        self.state = init_realtime_srv_state(
+            config, slots, cache_len, max_frames, jax.random.PRNGKey(0),
+            dtype=dtype)
+        self.total_steps = 0
+        # host mirrors (exact): frames generated per slot since admission,
+        # and an upper bound on each slot's cache cursor (cursors freeze at
+        # EOS, so prefill_len + steps only over-covers) — the attend bucket
+        # never needs a device read
+        self._step_host = np.full(slots, 1 << 30, np.int64)
+        self._ub_host = np.zeros(slots, np.int64)
+
+    # ------------------------------------------------------------------
+    def _prefill_fn(self, T: int, attend: int):
+        key = ("prefill", T, attend)
+        if key not in self._jit:
+            cfg, s, tk = self.config, self.sampling, self.top_k
+            self._jit[key] = jax.jit(
+                lambda p, st, ids, rv: realtime_prefill_step(
+                    p, cfg, st, ids, rv, s, top_k=tk, attend_len=attend),
+                donate_argnums=(1,),
+            )
+        return self._jit[key]
+
+    def _step_fn(self, attend: int):
+        key = ("step", attend)
+        if key not in self._jit:
+            cfg, s, tk = self.config, self.sampling, self.top_k
+            self._jit[key] = jax.jit(
+                lambda p, st, t: realtime_decode_step(
+                    p, cfg, st, t, s, top_k=tk, attend_len=attend),
+                donate_argnums=(1,),
+            )
+        return self._jit[key]
+
+    def _insert_fn(self):
+        if "insert" not in self._jit:
+            self._jit["insert"] = jax.jit(_insert_rt_row, donate_argnums=(0,))
+        return self._jit["insert"]
+
+    # ------------------------------------------------------------------
+    def submit(self, grid: np.ndarray, text_ids: List[int], *,
+               max_new_tokens: int = 128, prefill_text_len: int = 12) -> int:
+        """Queue a conversation turn: (T, 1+rvq) grid from
+        RealtimeProcessor + the full text token stream (the first
+        ``prefill_text_len`` go into the prefill, the rest feed one per
+        frame — reference inferencer semantics)."""
+        grid = np.asarray(grid, np.int64)
+        if grid.ndim != 2 or grid.shape[1] != self.config.rvq + 1:
+            raise ValueError(f"expected (T, {self.config.rvq + 1}) grid")
+        prefix = list(text_ids[:prefill_text_len])
+        if not prefix:
+            raise ValueError("need at least one text token to prefill")
+        Tb = _round_up(grid.shape[0] + len(prefix), self.prompt_bucket)
+        max_new_tokens = min(max_new_tokens, self.max_frames)
+        if Tb + max_new_tokens + self.poll_every > self.cache_len:
+            raise ValueError(
+                f"prompt ({Tb} slots) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds cache_len={self.cache_len}")
+        rid = next(self._ids)
+        self._queue.append(_RTRequest(
+            request_id=rid, grid=grid, text_ids=list(text_ids),
+            max_new_tokens=max_new_tokens, prefill_text_len=prefill_text_len))
+        return rid
+
+    def _admit(self, slot: int, req: _RTRequest):
+        cfg = self.config
+        prefix = req.text_ids[:req.prefill_text_len]
+        # grid + prefix rows with audio_bos on the last prefix row's audio
+        # channel 1 (same construction as RealtimeEngine.prefill)
+        seg = np.full((len(prefix), cfg.rvq + 1), cfg.audio_pad_token, np.int64)
+        seg[:, 0] = prefix
+        seg[len(prefix) - 1, 1] = cfg.audio_bos_token
+        rows = np.concatenate([req.grid, seg], axis=0)
+        Tb = _round_up(rows.shape[0], self.prompt_bucket)
+        ids = np.full((1, Tb, cfg.rvq + 1), cfg.audio_pad_token, np.int64)
+        ids[..., 0] = self.pad_token_id
+        ids[0, Tb - rows.shape[0]:] = rows
+        valid = np.zeros((1, Tb), bool)
+        valid[0, Tb - rows.shape[0]:] = True
+
+        small = init_realtime_state(
+            cfg, 1, self.cache_len, self.max_frames,
+            jax.random.PRNGKey(hash(("rt-req", req.request_id)) & 0x7FFFFFFF),
+            dtype=self.dtype)
+        attend = attend_bucket(Tb, max(self.prompt_bucket, 128), self.cache_len)
+        small, _frame = self._prefill_fn(Tb, attend)(
+            self.params, small, jnp.asarray(ids), jnp.asarray(valid))
+        self.state = self._insert_fn()(
+            self.state, small, jnp.int32(slot), jnp.int32(Tb))
+        self._active[slot] = req
+        self._text_rest[slot] = list(req.text_ids[req.prefill_text_len:])
+        self._step_host[slot] = 1  # the prefill produced the first frame
+        self._ub_host[slot] = Tb
+
+    def _fill_free_slots(self):
+        busy = set(self._active)
+        for slot in range(self.slots):
+            if not self._queue:
+                break
+            if slot not in busy:
+                self._admit(slot, self._queue.pop(0))
+
+    # ------------------------------------------------------------------
+    def step(self, *, poll: Optional[bool] = None) -> List[CompletedStream]:
+        """Admit queued requests, decode ONE frame for every slot in
+        lock-step, collect completions. Idle/finished slots ride along
+        frozen (their cursor and cache stay put; the depth scan computes a
+        frame that history clips away)."""
+        self._fill_free_slots()
+        if not self._active:
+            return []
+        toks = np.full(self.slots, self.text_pad_id, np.int64)
+        for slot in self._active:
+            rest = self._text_rest[slot]
+            if rest:
+                toks[slot] = rest.pop(0)
+        active = sorted(self._active)
+        max_ub = int(self._ub_host[active].max())
+        attend = attend_bucket(max_ub + 2, max(self.prompt_bucket, 128),
+                               self.cache_len)
+        self.state, _frame = self._step_fn(attend)(
+            self.params, self.state, jnp.asarray(toks, jnp.int32))
+        self.total_steps += 1
+        self._step_host[active] += 1
+        self._ub_host[active] += 1
+
+        if poll is None:
+            poll = (
+                self.total_steps % self.poll_every == 0
+                or any(self._step_host[s] >= self._active[s].max_new_tokens
+                       for s in active)
+            )
+        return self._collect() if poll else []
+
+    def _collect(self) -> List[CompletedStream]:
+        stopped = np.asarray(jax.device_get(self.state.is_stopping))
+        finished = [
+            (slot, req) for slot, req in sorted(self._active.items())
+            if stopped[slot] or self._step_host[slot] >= req.max_new_tokens
+        ]
+        if not finished:
+            return []
+        # one fixed-shape transfer for the whole history buffer (a per-slot
+        # gather would compile a program per finished-count — the delay
+        # server's measured trap)
+        hist = np.asarray(jax.device_get(self.state.history))
+        done: List[CompletedStream] = []
+        for slot, req in finished:
+            n = int(min(self._step_host[slot], self.max_frames))
+            frames = hist[slot, :n]
+            eos = np.nonzero(frames[:, 0] == self.config.audio_eos_token)[0]
+            if len(eos):
+                frames = frames[: int(eos[0])]
+            done.append(CompletedStream(
+                request_id=req.request_id, frames=frames.copy(),
+                steps=int(self._step_host[slot])))
+            del self._active[slot]
+            del self._text_rest[slot]
+            self._step_host[slot] = 1 << 30
+            # freeze the slot: per-row path stops advancing its cursor
+            self.state = self.state._replace(
+                is_stopping=self.state.is_stopping.at[slot].set(True))
+        return done
+
+    def run(self, max_steps: int = 100000) -> List[CompletedStream]:
+        done: List[CompletedStream] = []
+        for _ in range(max_steps):
+            done.extend(self.step())
+            if not self._active and not self._queue:
+                break
+        return done
+
+    # ------------------------------------------------------------------
+    def warmup(self, prompt_lens=(64,), attend_upto: Optional[int] = None):
+        """Precompile every program the serving load can hit (prefill per
+        prompt bucket, decode step per attend bucket, the splice) so no
+        remote compile lands mid-serve."""
+        cfg = self.config
+        upto = attend_upto or self.cache_len
+        for T in prompt_lens:
+            Tb = _round_up(T, self.prompt_bucket)
+            attend = attend_bucket(Tb, max(self.prompt_bucket, 128),
+                                   self.cache_len)
+            small = init_realtime_state(
+                cfg, 1, self.cache_len, self.max_frames, jax.random.PRNGKey(0),
+                dtype=self.dtype)
+            ids = np.full((1, Tb, cfg.rvq + 1), cfg.audio_pad_token, np.int64)
+            ids[..., 0] = self.pad_token_id
+            ids[0, -1, 0] = self.text_pad_id
+            ids[0, -1, 1] = cfg.audio_bos_token
+            valid = np.ones((1, Tb), bool)
+            small, _ = self._prefill_fn(Tb, attend)(
+                self.params, small, jnp.asarray(ids), jnp.asarray(valid))
+            self.state = self._insert_fn()(self.state, small, jnp.int32(0),
+                                           jnp.int32(Tb))
+        a = max(self.prompt_bucket, 128)
+        toks = jnp.full((self.slots,), self.text_pad_id, jnp.int32)
+        while True:
+            self.state, _ = self._step_fn(a)(self.params, self.state, toks)
+            if a >= min(upto, self.cache_len):
+                break
+            a = attend_bucket(a + 1, max(self.prompt_bucket, 128), self.cache_len)
+        # reset to a clean idle pool (warmup dirtied slot 0 and cursors)
+        jax.device_get(self.state.is_stopping)
+        self.state = init_realtime_srv_state(
+            self.config, self.slots, self.cache_len, self.max_frames,
+            jax.random.PRNGKey(0), dtype=self.dtype)
+        self._step_host[:] = 1 << 30
+        self._ub_host[:] = 0

@@ -111,7 +111,7 @@ def depth_generate_frame(
     params, cfg: RealtimeConfig, rng,
     hidden: jax.Array,  # (B, D) backbone last hidden
     history: jax.Array,  # (B, Hlen, rvq) generated frames (ring not needed; Hlen static)
-    hist_len: jax.Array,  # scalar int32: frames generated so far
+    hist_len: jax.Array,  # int32 frames generated so far: scalar, or (B,) per row
     sampling: RealtimeSampling,
     *, top_k: int = 30,
 ) -> jax.Array:
@@ -128,13 +128,24 @@ def depth_generate_frame(
     rngs = jax.random.split(rng, R)
 
     # windowed repetition history mask per codebook: (B, rvq, Va)
-    W = min(REP_WINDOW, history.shape[1])
-    start = jnp.clip(hist_len - W, 0, max(history.shape[1] - W, 0))
-    win = jax.lax.dynamic_slice_in_dim(history, start, W, axis=1)  # (B, W, rvq)
-    valid = (start + jnp.arange(W)) < hist_len  # (W,)
-    seen = window_seen_mask(
-        jnp.transpose(win, (0, 2, 1)), Va, valid=jnp.broadcast_to(valid[None, None], (B, R, W))
-    )  # (B, rvq, Va)
+    H = history.shape[1]
+    W = min(REP_WINDOW, H)
+    if jnp.ndim(hist_len) == 1:
+        # per-row cursors (continuous-batching server): each slot's window
+        # ends at its own hist_len
+        start = jnp.clip(hist_len - W, 0, max(H - W, 0))  # (B,)
+        idx = start[:, None] + jnp.arange(W, dtype=jnp.int32)[None]  # (B, W)
+        win = jnp.take_along_axis(
+            history, jnp.broadcast_to(idx[:, :, None], (B, W, R)), axis=1)
+        valid = jnp.broadcast_to(
+            (idx < hist_len[:, None])[:, None, :], (B, R, W))
+    else:
+        start = jnp.clip(hist_len - W, 0, max(H - W, 0))
+        win = jax.lax.dynamic_slice_in_dim(history, start, W, axis=1)  # (B, W, rvq)
+        v = (start + jnp.arange(W)) < hist_len  # (W,)
+        valid = jnp.broadcast_to(v[None, None], (B, R, W))
+    seen = window_seen_mask(jnp.transpose(win, (0, 2, 1)), Va, valid=valid)
+    # (B, rvq, Va)
 
     def step(carry, xs):
         x, cache = carry
@@ -255,16 +266,33 @@ def realtime_prefill_step(
     *, top_k: int = 30, attend_len: Optional[int] = None,
 ) -> Tuple[RealtimeState, jax.Array]:
     """Feed T new rows at the current cache offset, then decode the first
-    frame. Returns (state, frame (B, rvq))."""
+    frame. Returns (state, frame (B, rvq)).
+
+    ``state.cur_len``/``state.hist_len`` may be (B,) per-row cursors
+    (continuous-batching server: slots sit at different conversation
+    lengths); that path supports T == 1 only — admission prefills run at
+    batch 1 through the scalar path and are spliced in."""
     B, T, _ = input_ids.shape
     lc = cfg.language_config
-    offset = state.cur_len
-    positions = (offset + jnp.arange(T, dtype=jnp.int32))[None].repeat(B, axis=0)
-    kv_valid = jax.lax.dynamic_update_slice(state.kv_valid, row_valid, (0, offset))
+    per_row = jnp.ndim(state.cur_len) == 1
+    S = state.kv_valid.shape[1]
+    H = state.history.shape[1]
+    if per_row:
+        if T != 1:
+            raise ValueError("per-row-cursor states decode one row at a time")
+        pos = state.cur_len  # (B,)
+        positions = pos[:, None]
+        kv_valid = state.kv_valid.at[
+            jnp.arange(B), jnp.clip(pos, 0, S - 1)].set(row_valid[:, 0])
+        cache_offset = pos
+    else:
+        offset = state.cur_len
+        positions = (offset + jnp.arange(T, dtype=jnp.int32))[None].repeat(B, axis=0)
+        kv_valid = jax.lax.dynamic_update_slice(state.kv_valid, row_valid, (0, offset))
+        # single-token steps take the per-row scatter write path (measurably
+        # faster than dynamic_update_slice inside the layer scan)
+        cache_offset = jnp.full((B,), offset, jnp.int32) if T == 1 else offset
     embeds = realtime_embed(params, cfg, input_ids)
-    # single-token steps take the per-row scatter write path (measurably
-    # faster than dynamic_update_slice inside the layer scan)
-    cache_offset = jnp.full((B,), offset, jnp.int32) if T == 1 else offset
     hidden, cache = qwen3_forward(
         params["backbone"], lc, embeds,
         positions=positions, kv_valid=kv_valid, cache=state.cache,
@@ -275,13 +303,21 @@ def realtime_prefill_step(
         params, cfg, rng_f, hidden[:, -1], state.history, state.hist_len,
         sampling, top_k=top_k,
     )
-    history = jax.lax.dynamic_update_slice(
-        state.history, frame[:, None, :], (0, state.hist_len, 0)
-    )
+    if per_row:
+        history = state.history.at[
+            jnp.arange(B), jnp.clip(state.hist_len, 0, H - 1)].set(frame)
+        # stopped/idle rows freeze their cache cursor (masked writes land on
+        # the same never-valid slot instead of burning cache)
+        new_cur = pos + row_valid[:, 0].astype(jnp.int32)
+    else:
+        history = jax.lax.dynamic_update_slice(
+            state.history, frame[:, None, :], (0, state.hist_len, 0)
+        )
+        new_cur = state.cur_len + T
     is_stopping = state.is_stopping | (frame[:, 0] == cfg.audio_eos_token)
     return (
         state._replace(
-            cache=cache, kv_valid=kv_valid, cur_len=offset + T,
+            cache=cache, kv_valid=kv_valid, cur_len=new_cur,
             last_audio=frame, is_stopping=is_stopping,
             history=history, hist_len=state.hist_len + 1, rng=rng,
         ),
@@ -329,4 +365,19 @@ def init_realtime_state(
         history=jnp.zeros((batch, max_frames, cfg.rvq), jnp.int32),
         hist_len=jnp.int32(0),
         rng=rng,
+    )
+
+
+def init_realtime_srv_state(
+    cfg: RealtimeConfig, slots: int, cache_len: int, max_frames: int,
+    rng: jax.Array, dtype=jnp.bfloat16,
+) -> RealtimeState:
+    """Per-row-cursor variant for the continuous-batching server: cur_len /
+    hist_len are (slots,) arrays and every slot starts IDLE (is_stopping
+    frozen) until a request is spliced in."""
+    st = init_realtime_state(cfg, slots, cache_len, max_frames, rng, dtype=dtype)
+    return st._replace(
+        cur_len=jnp.zeros((slots,), jnp.int32),
+        hist_len=jnp.zeros((slots,), jnp.int32),
+        is_stopping=jnp.ones((slots,), jnp.bool_),
     )

@@ -1,0 +1,135 @@
+"""RealtimeBatchServer: continuous batching for streaming conversations.
+
+The oracle is the solo (batch-1) RealtimeEngine.generate path: under greedy
+sampling every admitted conversation must produce EXACTLY the frames the
+solo engine produces for the same grid/text, regardless of which slot it
+lands in, what else shares the batch, or whether it was admitted mid-flight.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mosstts_tpu.core.config import RealtimeConfig, RealtimeLocalConfig, tiny_qwen3
+from mosstts_tpu.processing.realtime_processor import RealtimeProcessor
+from mosstts_tpu.processing.tokenizer import ByteFallbackTokenizer
+
+RVQ = 4
+CFG = RealtimeConfig(
+    language_config=tiny_qwen3(hidden_size=32, num_attention_heads=2,
+                               num_key_value_heads=2, head_dim=16,
+                               intermediate_size=64),
+    local_config=RealtimeLocalConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, head_dim=16, rvq=RVQ,
+        max_position_embeddings=RVQ + 1,
+    ),
+    rvq=RVQ,
+)
+
+SAMPLING = dict(temperature=0.0, top_p=0.6, top_k=30,
+                repetition_penalty=1.1, do_sample=False)
+
+
+def _requests(rng, n):
+    proc = RealtimeProcessor(ByteFallbackTokenizer(), channels=RVQ)
+    reqs = []
+    for i in range(n):
+        tokens = rng.integers(0, 1024, (6 + i, RVQ))
+        grid = proc.make_ensemble(tokens)
+        text = [int(t) for t in rng.integers(200, 5000, 16 + 3 * i)]
+        reqs.append((grid, text))
+    return reqs
+
+
+def _solo_frames(params, grid, text, max_new):
+    from mosstts_tpu.engine.realtime_engine import RealtimeEngine
+
+    eng = RealtimeEngine(params, CFG, dtype=jnp.float32, cache_len=640,
+                         max_length=64, prefill_bucket=16)
+    out = eng.generate([grid], [text], max_length=max_new - 1, **SAMPLING)
+    return out[0]
+
+
+def _make_server(params, **over):
+    from mosstts_tpu.engine.realtime_batch_server import RealtimeBatchServer
+    from mosstts_tpu.models.realtime import make_rt_sampling
+
+    kw = dict(slots=2, cache_len=640, max_frames=64, prompt_bucket=16,
+              dtype=jnp.float32,
+              sampling=make_rt_sampling(temperature=0.0, top_p=0.6,
+                                        repetition_penalty=1.1,
+                                        do_sample=False))
+    kw.update(over)
+    return RealtimeBatchServer(params, CFG, **kw)
+
+
+def test_realtime_server_matches_solo_engine():
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    reqs = _requests(rng, 4)
+    max_news = [10, 14, 9, 12]
+
+    server = _make_server(params)
+    rids = [server.submit(g, t, max_new_tokens=mn)
+            for (g, t), mn in zip(reqs, max_news)]
+    done = {c.request_id: c for c in server.run(max_steps=400)}
+    assert set(done) == set(rids)
+
+    for rid, (grid, text), mn in zip(rids, reqs, max_news):
+        ref = _solo_frames(params, grid, text, mn)
+        got = done[rid].frames
+        # the server may carry a few post-budget poll-slack frames; the
+        # agreed prefix must be the solo frames exactly
+        n = min(len(ref), len(got), mn)
+        assert n >= mn - 1, (len(ref), len(got), mn)
+        np.testing.assert_array_equal(got[:n], ref[:n],
+                                      err_msg=f"request {rid}")
+
+
+def test_realtime_server_midflight_admission():
+    """A request submitted while the pool is mid-decode lands in the freed
+    slot and still matches solo output."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    reqs = _requests(rng, 3)
+
+    server = _make_server(params)
+    r0 = server.submit(*reqs[0], max_new_tokens=8)
+    r1 = server.submit(*reqs[1], max_new_tokens=12)
+    done = []
+    for _ in range(6):
+        done.extend(server.step())
+    # submit the third mid-flight
+    r2 = server.submit(*reqs[2], max_new_tokens=10)
+    for _ in range(200):
+        done.extend(server.step())
+        if not server._active and not server._queue:
+            break
+    done = {c.request_id: c for c in done}
+    assert set(done) == {r0, r1, r2}
+
+    for rid, (grid, text), mn in zip((r0, r1, r2), reqs, (8, 12, 10)):
+        ref = _solo_frames(params, grid, text, mn)
+        got = done[rid].frames
+        n = min(len(ref), len(got), mn)
+        assert n >= mn - 1
+        np.testing.assert_array_equal(got[:n], ref[:n])
+
+
+def test_realtime_server_submit_validation():
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    server = _make_server(params, cache_len=128)
+    with pytest.raises(ValueError):
+        server.submit(np.zeros((4, 2)), [1, 2, 3])  # wrong channel count
+    with pytest.raises(ValueError):
+        server.submit(np.zeros((4, RVQ + 1), np.int64), [])  # no text
+    with pytest.raises(ValueError):  # prompt + budget exceeds the cache
+        server.submit(np.zeros((100, RVQ + 1), np.int64),
+                      [1] * 12, max_new_tokens=64)
