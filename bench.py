@@ -340,6 +340,103 @@ def run_realtime_family(args) -> dict:
     }
 
 
+def run_realtime_server(args) -> dict:
+    """Realtime CONTINUOUS BATCHING: mixed-length conversations through
+    RealtimeBatchServer (mid-flight admission, zero host syncs per frame)
+    vs the same load as lock-step static groups through the engine."""
+    from mosstts_tpu.core.config import RealtimeConfig
+    from mosstts_tpu.engine.realtime_batch_server import RealtimeBatchServer
+    from mosstts_tpu.engine.realtime_engine import RealtimeEngine
+    from mosstts_tpu.models.realtime import init_realtime_params, make_rt_sampling
+    from mosstts_tpu.ops.quant import quantize_tree
+
+    slots = args.batch or 8
+    n_requests = slots * 3
+    if args.tiny:  # CPU smoke
+        from mosstts_tpu.core.config import RealtimeLocalConfig, tiny_qwen3
+
+        cfg = RealtimeConfig(
+            language_config=tiny_qwen3(hidden_size=32, num_attention_heads=2,
+                                       num_key_value_heads=2, head_dim=16,
+                                       intermediate_size=64),
+            local_config=RealtimeLocalConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=2, num_key_value_heads=2, head_dim=16,
+                rvq=4, max_position_embeddings=5),
+            rvq=4)
+        params = init_realtime_params(jax.random.PRNGKey(0), cfg,
+                                      dtype=jnp.float32)
+    else:
+        cfg = RealtimeConfig()
+        params = quantize_tree(init_realtime_params(
+            jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+
+    rng = np.random.default_rng(0)
+    reqs = []
+    for _ in range(n_requests):
+        T = int(rng.integers(4, 12))
+        g = np.full((T, 1 + cfg.rvq), cfg.audio_pad_token, np.int64)
+        g[:, 0] = rng.integers(100, 1000, T)
+        g[:, 1:] = rng.integers(0, 1024, (T, cfg.rvq))
+        text = [int(t) for t in rng.integers(100, 1000, 80)]
+        reqs.append((g, text))
+    max_news = [int(x) for x in rng.integers(args.steps // 2, args.steps,
+                                             n_requests)]
+
+    dt = jnp.float32 if args.tiny else jnp.bfloat16
+    server = RealtimeBatchServer(
+        params, cfg, slots=slots, cache_len=1024, max_frames=args.steps + 16,
+        prompt_bucket=16, dtype=dt,
+        sampling=make_rt_sampling(temperature=0.8))
+    log(f"[rt-server] warmup ({slots} slots)...")
+    # requests are 4-11 grid rows + the 12-token text prefix -> prompt
+    # buckets 16 and 32; warm both so no compile lands mid-serve
+    server.warmup(prompt_lens=(16, 32), attend_upto=256)
+    for (g, t), mn in zip(reqs, max_news):
+        server.submit(g, t, max_new_tokens=mn)
+    t0 = time.perf_counter()
+    done = server.run(max_steps=100000)
+    cb_elapsed = time.perf_counter() - t0
+    cb_frames = sum(c.steps for c in done)
+
+    # static: groups of `slots`, each decoding to its longest member
+    engine = RealtimeEngine(params, cfg, dtype=dt, cache_len=1024,
+                            max_length=args.steps + 16, prefill_bucket=16)
+    log("[rt-server] static lock-step comparison...")
+    engine.generate([reqs[i][0] for i in range(slots)],
+                    [reqs[i][1] for i in range(slots)], max_length=8)
+    t0 = time.perf_counter()
+    static_frames = 0
+    for i in range(0, n_requests, slots):
+        group = reqs[i:i + slots]
+        mns = max_news[i:i + slots]
+        engine.reset_generation_state(keep_cache=False)
+        engine.generate([g for g, _ in group], [t for _, t in group],
+                        max_length=max(mns))
+        static_frames += (max(mns) + 1) * len(group)
+    static_elapsed = time.perf_counter() - t0
+
+    cb_fps = cb_frames / cb_elapsed
+    st_fps = static_frames / static_elapsed
+    return {
+        "metric": "realtime_continuous_batching_frames_per_sec",
+        "value": round(cb_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(cb_fps / max(st_fps, 1e-9), 3),
+        "detail": {
+            "slots": slots, "requests": n_requests,
+            "decode_steps": server.total_steps,
+            "useful_frames": cb_frames,
+            "cb_wall_s": round(cb_elapsed, 1),
+            "static_frames_per_sec": round(st_fps, 1),
+            "static_wall_s": round(static_elapsed, 1),
+            "total_x_realtime": round(cb_fps / 12.5, 1),
+            "int8": True,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def run_batch_server(args) -> dict:
     """Continuous batching vs a static batch at equal load: N requests with
     mixed lengths through DelayBatchServer (mid-flight admission) vs the
@@ -605,6 +702,9 @@ def main():
     ap.add_argument("--batch-server", action="store_true",
                     help="continuous batching vs static batch at equal load "
                          "(1.7B, int8 weights + int8 KV)")
+    ap.add_argument("--rt-server", action="store_true",
+                    help="realtime continuous batching (RealtimeBatchServer) "
+                         "vs lock-step static groups at equal load")
     ap.add_argument("--paged", action="store_true",
                     help="with --batch-server: also run the paged-KV server "
                          "(60%% page pool, Pallas paged decode attention) "
@@ -621,6 +721,9 @@ def main():
         return
     if args.batch_server:
         print(json.dumps(run_batch_server(args)))
+        return
+    if args.rt_server:
+        print(json.dumps(run_realtime_server(args)))
         return
     if args.family == "local":
         print(json.dumps(run_local_family(args)))
