@@ -40,22 +40,23 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax>=0.4.35 moved shard_map out of experimental
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
-
 from ..core.config import Qwen3Config
 from ..nn.qwen3 import qwen3_forward
 from ..ops.basic import rms_norm
 
 
-def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
-    """A 1-D ('stage',) mesh over the first ``n_stages`` devices."""
+def make_pp_mesh(n_stages: int, model: int = 1, devices=None) -> Mesh:
+    """('stage',) mesh — or ('stage','model') with ``model`` > 1: the
+    pipeline is manual over 'stage' only, so GSPMD tensor parallelism
+    applies unchanged INSIDE each stage body (PP x TP compose)."""
     devices = devices if devices is not None else jax.devices()
-    if len(devices) < n_stages:
-        raise ValueError(f"need {n_stages} devices, have {len(devices)}")
-    return Mesh(np.asarray(devices[:n_stages]), ("stage",))
+    n = n_stages * model
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    if model == 1:
+        return Mesh(np.asarray(devices[:n]), ("stage",))
+    return Mesh(np.asarray(devices[:n]).reshape(n_stages, model),
+                ("stage", "model"))
 
 
 def split_stages(layer_params, n_stages: int):
@@ -137,11 +138,16 @@ def pipelined_qwen3_forward(
         out = lax.psum(jnp.where(sid == S_ - 1, out, jnp.zeros_like(out)), "stage")
         return out
 
-    fn = shard_map(
+    # manual ONLY over 'stage': any other mesh axes (e.g. 'model') stay
+    # auto, so GSPMD tensor-parallel shardings on the layer weights apply
+    # unchanged inside the stage body — PP x TP compose without hand-written
+    # collectives
+    fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("stage"), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        axis_names=frozenset({"stage"}),
+        check_vma=False,
     )
     hidden = fn(stages, x_mb, pos_mb, kvv_mb).reshape(B, T, D)
     return rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
