@@ -386,7 +386,7 @@ def run_realtime_server(args) -> dict:
     dt = jnp.float32 if args.tiny else jnp.bfloat16
     server = RealtimeBatchServer(
         params, cfg, slots=slots, cache_len=1024, max_frames=args.steps + 16,
-        prompt_bucket=16, dtype=dt,
+        prompt_bucket=16, dtype=dt, poll_every=8,
         sampling=make_rt_sampling(temperature=0.8))
     log(f"[rt-server] warmup ({slots} slots)...")
     # requests are 4-11 grid rows + the 12-token text prefix -> prompt
@@ -395,6 +395,10 @@ def run_realtime_server(args) -> dict:
     for (g, t), mn in zip(reqs, max_news):
         server.submit(g, t, max_new_tokens=mn)
     t0 = time.perf_counter()
+    # block=1 measured FASTER than block=4 on this box (20.8 vs 44.8 ms/
+    # step): per-step dispatch already overlaps on the device-chained
+    # state, and step_block's per-block _collect doubles the sync rate
+    # vs poll_every=8
     done = server.run(max_steps=100000)
     cb_elapsed = time.perf_counter() - t0
     cb_frames = sum(c.steps for c in done)

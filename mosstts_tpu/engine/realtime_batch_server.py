@@ -279,10 +279,42 @@ class RealtimeBatchServer:
                 is_stopping=self.state.is_stopping.at[slot].set(True))
         return done
 
-    def run(self, max_steps: int = 100000) -> List[CompletedStream]:
+    def step_block(self, n: int) -> List[CompletedStream]:
+        """Enqueue ``n`` lock-step frames back-to-back (one admission pass,
+        one poll): per-dispatch host latency overlaps on the device-chained
+        state — the same pipelining that holds the solo engine's frame
+        cost down. Admission granularity coarsens to ``n`` frames
+        (n/12.5 s), the throughput-serving trade."""
+        self._fill_free_slots()
+        if not self._active:
+            return []
+        active = sorted(self._active)
+        for _ in range(n):
+            toks = np.full(self.slots, self.text_pad_id, np.int64)
+            for slot in active:
+                rest = self._text_rest[slot]
+                if rest:
+                    toks[slot] = rest.pop(0)
+            max_ub = int(self._ub_host[active].max())
+            attend = attend_bucket(max_ub + 2, max(self.prompt_bucket, 128),
+                                   self.cache_len)
+            self.state, _f = self._step_fn(attend)(
+                self.params, self.state, jnp.asarray(toks, jnp.int32))
+            self.total_steps += 1
+            self._step_host[active] += 1
+            self._ub_host[active] += 1
+        return self._collect()
+
+    def run(self, max_steps: int = 100000, block: int = 1) -> List[CompletedStream]:
         done: List[CompletedStream] = []
-        for _ in range(max_steps):
-            done.extend(self.step())
+        steps = 0
+        while steps < max_steps:
+            if block > 1:
+                done.extend(self.step_block(block))
+                steps += block
+            else:
+                done.extend(self.step())
+                steps += 1
             if not self._active and not self._queue:
                 break
         return done

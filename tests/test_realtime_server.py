@@ -121,6 +121,29 @@ def test_realtime_server_midflight_admission():
         np.testing.assert_array_equal(got[:n], ref[:n])
 
 
+def test_realtime_server_block_mode_matches_solo():
+    """run(block=4) pipelines 4 frames per host round; outputs stay
+    token-exact vs solo under greedy."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    reqs = _requests(rng, 3)
+    max_news = [10, 7, 13]
+
+    server = _make_server(params)
+    rids = [server.submit(g, t, max_new_tokens=mn)
+            for (g, t), mn in zip(reqs, max_news)]
+    done = {c.request_id: c for c in server.run(max_steps=400, block=4)}
+    assert set(done) == set(rids)
+    for rid, (grid, text), mn in zip(rids, reqs, max_news):
+        ref = _solo_frames(params, grid, text, mn)
+        got = done[rid].frames
+        n = min(len(ref), len(got), mn)
+        assert n >= mn - 1
+        np.testing.assert_array_equal(got[:n], ref[:n])
+
+
 def test_realtime_server_submit_validation():
     from mosstts_tpu.models.realtime import init_realtime_params
 
