@@ -12,11 +12,16 @@ all-gathers the full K/V per layer; the ring keeps every block resident on
 one device and only ever moves one block per step over ICI, so peak memory
 per device stays O(T/n) and the transfers pipeline against the block dots.
 
-Layout note: blocks are CONTIGUOUS sequence chunks, so under causal
-masking late ring steps do more useful work on low-index devices than
-high-index ones (the classic ring-attention load imbalance). A striped
-("zig-zag") layout evens this out; not needed at parity scales, noted in
-docs/ROADMAP.md.
+Layout: by default blocks are CONTIGUOUS sequence chunks, so under causal
+masking device d's queries attend ~d+1 of the n blocks — the classic ring
+load imbalance (device n-1 does n times device 0's work). ``layout=
+"zigzag"`` instead pairs stripe i with stripe 2n-1-i on device i (the
+striped layout from the ring-attention literature): every device's causal
+work sums to the same constant, so the slowest ring step shrinks from
+O(n) blocks of useful work to O(n/2 + 1). Because positions and validity
+ride WITH the blocks, the ring body is layout-oblivious — zigzag is one
+gather before and one inverse gather after, numerics identical (pinned in
+tests/test_ring_attention.py).
 
 All math in fp32; positions/validity ride with the blocks so causality and
 left-padding are handled by masking alone (parity with
@@ -114,6 +119,23 @@ def ring_attention_shard(
         B, Tq, H, hd).astype(q.dtype)
 
 
+def zigzag_order(T: int, n: int):
+    """Global sequence order for the striped layout: device d holds
+    stripes d and 2n-1-d, so every device's causal workload is equal
+    (stripe ranks d + (2n-1-d) sum to the same constant for all d)."""
+    import numpy as np
+
+    if T % (2 * n):
+        raise ValueError(f"zigzag needs T % (2*{n}) == 0, got T={T}")
+    S = T // (2 * n)
+    parts = []
+    for d in range(n):
+        parts.append(np.arange(d * S, (d + 1) * S))
+        e = 2 * n - 1 - d
+        parts.append(np.arange(e * S, (e + 1) * S))
+    return np.concatenate(parts)
+
+
 def ring_gqa_attention(
     mesh: Mesh,
     q: jax.Array,  # (B, T, H, hd) — full (or jit-global) arrays
@@ -126,23 +148,37 @@ def ring_gqa_attention(
     scale: float,
     axis: str = "model",
     window: int | None = None,
+    layout: str = "contiguous",  # or "zigzag"
 ) -> jax.Array:
     """Drop-in causal GQA attention with T sharded on ``mesh`` axis
     ``axis`` (batch rides 'data' if the caller sharded it there; this
-    wrapper only constrains the sequence dim). T must divide evenly."""
+    wrapper only constrains the sequence dim). T must divide evenly;
+    ``layout="zigzag"`` additionally needs T % (2 * axis_size) == 0."""
     axis_size = mesh.shape[axis]
     T = q.shape[1]
     if T % axis_size != 0:
         raise ValueError(f"T={T} not divisible by mesh axis "
                          f"{axis!r}={axis_size}")
+    if layout not in ("contiguous", "zigzag"):
+        raise ValueError(f"unknown layout {layout!r}")
+    if layout == "zigzag" and axis_size > 1:
+        order = jnp.asarray(zigzag_order(T, axis_size))
+        inv = jnp.argsort(order)
+        q, k, v = (jnp.take(x, order, axis=1) for x in (q, k, v))
+        q_positions, kv_positions, kv_valid = (
+            jnp.take(x, order, axis=1)
+            for x in (q_positions, kv_positions, kv_valid))
     body = partial(
         ring_attention_shard, scale=scale, axis_name=axis,
         axis_size=axis_size, window=window,
     )
     seq4 = P(None, axis, None, None)
     seq2 = P(None, axis)
-    return shard_map(
+    out = shard_map(
         body, mesh,
         in_specs=(seq4, seq4, seq4, seq2, seq2, seq2),
         out_specs=seq4,
     )(q, k, v, q_positions, kv_positions, kv_valid)
+    if layout == "zigzag" and axis_size > 1:
+        out = jnp.take(out, inv, axis=1)
+    return out

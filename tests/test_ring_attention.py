@@ -75,3 +75,45 @@ def test_ring_rejects_indivisible_T():
     with pytest.raises(ValueError):
         ring_gqa_attention(mesh, q, k, v, q_positions=pos,
                            kv_positions=pos, kv_valid=valid, scale=0.25)
+
+
+def test_ring_zigzag_layout_matches():
+    """The striped ("zig-zag") layout — stripe i paired with stripe 2n-1-i
+    per device to even out causal load — must be numerically identical to
+    the contiguous layout and the oracle (positions/validity ride with the
+    blocks, so the ring body is layout-oblivious). Left-pad + window
+    included."""
+    mesh = make_mesh(data=1, model=8)
+    for seed, left_pad, window in ((3, 0, None), (4, 13, None), (5, 13, 16)):
+        q, k, v, pos, valid = _case(T=128, seed=seed, left_pad=left_pad)
+        scale = q.shape[-1] ** -0.5
+        ref = gqa_attention(q, k, v, q_positions=pos, kv_positions=pos,
+                            kv_valid=valid, scale=scale, window=window)
+        out = ring_gqa_attention(mesh, q, k, v, q_positions=pos,
+                                 kv_positions=pos, kv_valid=valid,
+                                 scale=scale, window=window, layout="zigzag")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    with pytest.raises(ValueError):  # T=64: 64 % (2*8) == 0 is fine; T=72 not
+        q, k, v, pos, valid = _case(T=72)
+        ring_gqa_attention(mesh, q, k, v, q_positions=pos, kv_positions=pos,
+                           kv_valid=valid, scale=0.25, layout="zigzag")
+
+
+def test_zigzag_order_balances_causal_work():
+    """Static check of the point of the layout: a device's total causal
+    work is sum(q_pos + 1) over the q positions it holds. Zigzag makes
+    that EQUAL across devices (stripe d pairs with stripe 2n-1-d); the
+    contiguous layout's is strictly increasing, last device doing ~2x the
+    mean."""
+    from mosstts_tpu.parallel.ring_attn import zigzag_order
+
+    n, T = 8, 128
+    order = zigzag_order(T, n)
+    assert sorted(order.tolist()) == list(range(T))
+    zig = (order.reshape(n, T // n) + 1).sum(axis=1)
+    contig = (np.arange(T).reshape(n, T // n) + 1).sum(axis=1)
+    assert len(set(zig.tolist())) == 1, zig  # perfectly balanced
+    assert (np.diff(contig) > 0).all()  # the imbalance it removes
+    assert contig.max() / contig.mean() > 1.8  # last device ~2x the mean
