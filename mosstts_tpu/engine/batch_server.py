@@ -46,6 +46,7 @@ class _Request:
     input_ids: np.ndarray  # (T, C)
     max_new_tokens: int
     start_length: int
+    sampling: Optional[dict] = None  # per-request generation config
 
 
 @dataclass
@@ -195,6 +196,33 @@ class DelayBatchServer:
         self._pos_host = np.zeros(self.slots, np.int64)
         self._step_host = np.full(self.slots, self.out_capacity, np.int64)
 
+        # Per-SLOT sampling (multi-tenant serving: each request carries its
+        # own generation config; every DelaySampling knob broadcasts per
+        # batch row via ops.sampling.align_rows, so ONE compiled step serves
+        # any mix). Host arrays hold the TRANSFORMED fields; the device
+        # pytree is rebuilt only when an admission changes a slot.
+        d = self.sampling
+
+        def _f(x):
+            return float(np.asarray(x))
+
+        self._samp_default = {
+            "text_temperature": _f(d.text_temperature),
+            "text_top_p": _f(d.text_top_p),
+            "audio_temperature": _f(d.audio_temperature),
+            "audio_top_p": _f(d.audio_top_p),
+            "audio_repetition_penalty": _f(d.audio_repetition_penalty),
+            "text_do_sample": bool(np.asarray(d.text_do_sample)),
+            "audio_do_sample": bool(np.asarray(d.audio_do_sample)),
+        }
+        sd = self._samp_default
+        self._samp_host = {
+            k: np.full(self.slots, v,
+                       np.bool_ if isinstance(v, bool) else np.float32)
+            for k, v in sd.items()
+        }
+        self._batch_sampling: Optional[DelaySampling] = None
+
     # ------------------------------------------------------------------
     def _empty_state(self) -> DelayGenState:
         B, C = self.slots, self.config.channels
@@ -227,17 +255,69 @@ class DelayBatchServer:
     def _prefill_fn(self, T: int):
         key = ("prefill", T)
         if key not in self._jit:
-            cfg, s, tkt, tka, dt = (self.config, self.sampling, self.top_k_text,
-                                    self.top_k_audio, self.dtype)
+            cfg, tkt, tka, dt = (self.config, self.top_k_text,
+                                 self.top_k_audio, self.dtype)
             cl, oc, kvq = self.cache_len, self.out_capacity, self.kv_quant
             self._jit[key] = jax.jit(
-                lambda p, ids, mask, rng: delay_prefill(
+                lambda p, ids, mask, rng, s: delay_prefill(
                     p, cfg, ids, mask, max_new_tokens=oc, cache_len=cl, rng=rng,
                     sampling=s, top_k_text=tkt, top_k_audio=tka, dtype=dt,
                     kv_quant=kvq,
                 )
             )
         return self._jit[key]
+
+    # ---- per-slot sampling -------------------------------------------
+    _SAMP_KEYS = ("text_temperature", "text_top_p", "audio_temperature",
+                  "audio_top_p", "audio_repetition_penalty")
+
+    def _set_slot_sampling(self, slot: int, overrides: dict):
+        h, sd = self._samp_host, self._samp_default
+        for k in ("text_do_sample", "audio_do_sample"):
+            h[k][slot] = sd[k]
+        for k in self._SAMP_KEYS:
+            h[k][slot] = sd[k]
+        for chan in ("text", "audio"):
+            t = overrides.get(f"{chan}_temperature")
+            if t is not None:
+                h[f"{chan}_temperature"][slot] = t if t > 0 else 1.0
+                h[f"{chan}_do_sample"][slot] = t > 0
+        for k in ("text_top_p", "audio_top_p", "audio_repetition_penalty"):
+            if overrides.get(k) is not None:
+                h[k][slot] = overrides[k]
+        self._batch_sampling = None  # device pytree is stale
+
+    def _slot_sampling(self, slot: int) -> DelaySampling:
+        """Scalar DelaySampling for this slot (the admission prefill)."""
+        h = self._samp_host
+        return make_sampling(
+            text_temperature=(float(h["text_temperature"][slot])
+                              if h["text_do_sample"][slot] else 0.0),
+            text_top_p=float(h["text_top_p"][slot]),
+            audio_temperature=(float(h["audio_temperature"][slot])
+                               if h["audio_do_sample"][slot] else 0.0),
+            audio_top_p=float(h["audio_top_p"][slot]),
+            audio_repetition_penalty=float(
+                h["audio_repetition_penalty"][slot]),
+            audio_rp_cross_batch=bool(
+                np.asarray(self.sampling.audio_rp_cross_batch)),
+        )
+
+    def _batch_sampling_dev(self) -> DelaySampling:
+        if self._batch_sampling is None:
+            h = self._samp_host
+            self._batch_sampling = DelaySampling(
+                text_temperature=jnp.asarray(h["text_temperature"]),
+                text_top_p=jnp.asarray(h["text_top_p"]),
+                audio_temperature=jnp.asarray(h["audio_temperature"]),
+                audio_top_p=jnp.asarray(h["audio_top_p"]),
+                audio_repetition_penalty=jnp.asarray(
+                    h["audio_repetition_penalty"]),
+                text_do_sample=jnp.asarray(h["text_do_sample"]),
+                audio_do_sample=jnp.asarray(h["audio_do_sample"]),
+                audio_rp_cross_batch=self.sampling.audio_rp_cross_batch,
+            )
+        return self._batch_sampling
 
     # `row` is a TRACED argument in the splice/table programs below: keying
     # the jit cache on the slot index compiled a separate program per row
@@ -305,10 +385,9 @@ class DelayBatchServer:
     def _step_fn(self, attend: int):
         key = ("step", attend)
         if key not in self._jit:
-            cfg, s, tkt, tka = (self.config, self.sampling, self.top_k_text,
-                                self.top_k_audio)
+            cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
             self._jit[key] = jax.jit(
-                lambda p, st: delay_decode_step(
+                lambda p, st, s: delay_decode_step(
                     p, cfg, st, s, top_k_text=tkt, top_k_audio=tka,
                     attend_len=attend,
                 ),
@@ -317,8 +396,19 @@ class DelayBatchServer:
         return self._jit[key]
 
     # ------------------------------------------------------------------
-    def submit(self, input_ids: np.ndarray, *, max_new_tokens: int = 256) -> int:
-        """Queue a request; (T, C) grid from the processor. Returns id."""
+    def submit(self, input_ids: np.ndarray, *, max_new_tokens: int = 256,
+               sampling: Optional[dict] = None) -> int:
+        """Queue a request; (T, C) grid from the processor. Returns id.
+
+        ``sampling`` optionally overrides the server defaults for THIS
+        request: any of text_temperature / text_top_p / audio_temperature /
+        audio_top_p / audio_repetition_penalty (temperature <= 0 = greedy).
+        Per-slot values ride the one compiled step as (slots,) arrays."""
+        if sampling:
+            bad = set(sampling) - {f"{c}_temperature" for c in ("text", "audio")} \
+                - {"text_top_p", "audio_top_p", "audio_repetition_penalty"}
+            if bad:
+                raise ValueError(f"unknown sampling overrides: {sorted(bad)}")
         input_ids = np.asarray(input_ids, np.int64)
         if input_ids.ndim != 2 or input_ids.shape[1] != self.config.channels:
             raise ValueError(f"expected (T, {self.config.channels}) grid")
@@ -341,6 +431,7 @@ class DelayBatchServer:
             request_id=rid, input_ids=input_ids,
             max_new_tokens=min(max_new_tokens, self.out_capacity),
             start_length=input_ids.shape[0] - start_idx,
+            sampling=dict(sampling) if sampling else None,
         ))
         return rid
 
@@ -359,7 +450,10 @@ class DelayBatchServer:
         mask = np.zeros((1, Tb), bool)
         mask[0, Tb - T:] = True
         rng = jax.random.PRNGKey(hash(("req", req.request_id)) & 0x7FFFFFFF)
-        small = self._prefill_fn(Tb)(self.params, jnp.asarray(ids), jnp.asarray(mask), rng)
+        self._set_slot_sampling(slot, req.sampling or {})
+        small = self._prefill_fn(Tb)(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), rng,
+            self._slot_sampling(slot))
         if self.paged:
             trow = np.zeros(self.cache_len // self.page_size, np.int32)
             trow[:n0] = pages
@@ -415,7 +509,8 @@ class DelayBatchServer:
         active = sorted(self._active)
         max_pos = int(self._pos_host[active].max())
         attend = attend_bucket(max_pos + 2, 256, self.cache_len)
-        self.state = self._step_fn(attend)(self.params, self.state)
+        self.state = self._step_fn(attend)(
+            self.params, self.state, self._batch_sampling_dev())
         self.total_steps += 1
         self._pos_host += 1
         self._step_host += 1
@@ -536,7 +631,8 @@ class DelayBatchServer:
             a = attend_bucket(pos, 256, self.cache_len)
             if a not in seen:
                 seen.add(a)
-                self.state = self._step_fn(a)(self.params, self.state)
+                self.state = self._step_fn(a)(
+                    self.params, self.state, self._batch_sampling_dev())
             if a >= upto:
                 break
             pos = a + 1

@@ -31,6 +31,7 @@ from ..nn.qwen3 import (KVCache, init_kv_cache, init_quant_kv_cache,
                         init_qwen3_params, qwen3_forward)
 from ..ops.basic import dense
 from ..ops.sampling import (
+    align_rows,
     apply_repetition_penalty_seen,
     sample_topk_topp,
     seen_mask_update,
@@ -227,16 +228,23 @@ def make_sampling(
     repetition-penalty semantics: per VQ head, the penalized token set is the
     union of ALL batch rows' histories (inference_utils.py:62-108 flattens
     ``prev_tokens[..., h]`` over the batch). Default keeps the stricter
-    per-sample set (identical at batch=1)."""
-    tt, at = float(text_temperature), float(audio_temperature)
+    per-sample set (identical at batch=1).
+
+    Every knob except ``audio_rp_cross_batch`` also accepts a (B,) array —
+    one value PER BATCH ROW (the batch server's per-request generation
+    configs; ops.sampling.align_rows broadcasts them at the apply sites).
+    temperature <= 0 means greedy for that row."""
+    tt = jnp.asarray(text_temperature, jnp.float32)
+    at = jnp.asarray(audio_temperature, jnp.float32)
     return DelaySampling(
-        text_temperature=jnp.float32(tt if tt > 0 else 1.0),
-        text_top_p=jnp.float32(text_top_p),
-        audio_temperature=jnp.float32(at if at > 0 else 1.0),
-        audio_top_p=jnp.float32(audio_top_p),
-        audio_repetition_penalty=jnp.float32(audio_repetition_penalty),
-        text_do_sample=jnp.bool_(tt > 0),
-        audio_do_sample=jnp.bool_(at > 0),
+        text_temperature=jnp.where(tt > 0, tt, 1.0),
+        text_top_p=jnp.asarray(text_top_p, jnp.float32),
+        audio_temperature=jnp.where(at > 0, at, 1.0),
+        audio_top_p=jnp.asarray(audio_top_p, jnp.float32),
+        audio_repetition_penalty=jnp.asarray(audio_repetition_penalty,
+                                             jnp.float32),
+        text_do_sample=tt > 0,
+        audio_do_sample=at > 0,
         audio_rp_cross_batch=jnp.bool_(audio_rp_cross_batch),
     )
 
@@ -405,7 +413,8 @@ def _sample_text_lazy(
     ids2_arr = jnp.asarray(ids2, jnp.int32)
 
     def full(h):
-        logits = dense(h, text_head).astype(jnp.float32) / s.text_temperature
+        logits = (dense(h, text_head).astype(jnp.float32)
+                  / align_rows(s.text_temperature, 2))
         return _sample_text_full(k_text, cfg, s, top_k_text, logits,
                                  is_audio, first_step, early)
 
@@ -418,7 +427,8 @@ def _sample_text_lazy(
             logits2 = jnp.dot(h, text_head[:, ids2_arr],
                               preferred_element_type=jnp.float32)
         # replicate dense()'s dtype round-trip so logits match bit-for-bit
-        logits2 = logits2.astype(h.dtype).astype(jnp.float32) / s.text_temperature
+        logits2 = (logits2.astype(h.dtype).astype(jnp.float32)
+                   / align_rows(s.text_temperature, 2))
         logits2 = jnp.where(
             first_step[:, None]
             & (jnp.arange(2) == delay_col)[None, :], NEG_INF, logits2)
@@ -447,7 +457,7 @@ def _delay_sample_and_update(
     Va = audio_logits.shape[-1]
     rng, k_text, k_audio = jax.random.split(state.rng, 3)
 
-    audio_logits = audio_logits / s.audio_temperature
+    audio_logits = audio_logits / align_rows(s.audio_temperature, 3)
 
     # ---- text channel -----------------------------------------------------
     (not_stop, forced_delay, forced_end, sampling_text, is_audio,
@@ -460,7 +470,8 @@ def _delay_sample_and_update(
         )
     else:
         sampled_text = _sample_text_full(
-            k_text, cfg, s, top_k_text, text_logits / s.text_temperature,
+            k_text, cfg, s, top_k_text,
+            text_logits / align_rows(s.text_temperature, 2),
             is_audio, first_step, early,
         )
     next_text = jnp.full((B,), cfg.pad_token_id, jnp.int32)

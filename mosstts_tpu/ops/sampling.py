@@ -34,6 +34,18 @@ def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
+def align_rows(x, ndim: int):
+    """Right-pad a per-row control (B,) with singleton dims so it broadcasts
+    against (B, ..., V) activations; scalars pass through. This is what lets
+    every sampling knob be EITHER one value for the batch or one value per
+    row (multi-tenant serving: per-request generation configs share one
+    compiled step)."""
+    x = jnp.asarray(x)
+    if x.ndim == 0 or x.ndim >= ndim:
+        return x
+    return x.reshape(x.shape + (1,) * (ndim - x.ndim))
+
+
 def apply_top_p(logits: jax.Array, p: float | jax.Array) -> jax.Array:
     """Nucleus filtering: keep the smallest prefix of descending-probability
     tokens whose cumulative mass reaches p (the crossing token included)."""
@@ -41,7 +53,7 @@ def apply_top_p(logits: jax.Array, p: float | jax.Array) -> jax.Array:
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # keep while cumulative mass *before* this token is < p
-    keep_sorted = (cum - probs) < p
+    keep_sorted = (cum - probs) < align_rows(p, cum.ndim)
     # threshold = smallest kept logit
     thresh = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True)
     return jnp.where(logits < thresh, NEG_INF, logits)
@@ -52,6 +64,7 @@ def apply_repetition_penalty_seen(
     seen: jax.Array,  # (..., V) bool
     penalty: float | jax.Array,
 ) -> jax.Array:
+    penalty = align_rows(penalty, logits.ndim)
     pos = logits > 0
     penalized = jnp.where(pos, logits / penalty, logits * penalty)
     return jnp.where(seen, penalized, logits)
@@ -139,14 +152,14 @@ def sample_topk_topp(
         vals, idx = _topk_desc(logits, top_k, exact_topk)  # sorted desc
         probs = jax.nn.softmax(vals.astype(jnp.float32), axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        keep = (cum - probs) < top_p
+        keep = (cum - probs) < align_rows(top_p, cum.ndim)
         vals = jnp.where(keep, vals, NEG_INF)
         choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
         sampled = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
     else:
         filtered = apply_top_p(logits, top_p)
         sampled = jax.random.categorical(rng, filtered.astype(jnp.float32), axis=-1).astype(jnp.int32)
-    return jnp.where(do_sample, sampled, greedy)
+    return jnp.where(align_rows(do_sample, sampled.ndim), sampled, greedy)
 
 
 def find_last_equal(tokens: jax.Array, value: int) -> jax.Array:

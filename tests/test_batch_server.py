@@ -65,6 +65,43 @@ def test_continuous_admission_and_equivalence(setup):
         )
 
 
+def test_per_request_sampling(setup):
+    """Multi-tenant generation configs: two requests with DIFFERENT sampling
+    share the pool; the greedy one must match the solo greedy engine exactly
+    even while its neighbor decodes hot, and a sampled request in a reused
+    slot must not perturb a later greedy occupant (slot sampling resets on
+    admission)."""
+    params, proc, server = setup
+    g0 = _continuation_grid(proc, "greedy tenant", seed=41)
+    g1 = _continuation_grid(proc, "hot tenant", seed=42)
+    # server defaults are greedy (fixture); request 1 overrides to sampled
+    r0 = server.submit(g0, max_new_tokens=16)
+    r1 = server.submit(g1, max_new_tokens=16, sampling=dict(
+        audio_temperature=2.0, audio_top_p=0.95, text_temperature=1.5,
+        audio_repetition_penalty=1.3))
+    done = {c.request_id: c for c in server.run(max_steps=400)}
+    assert set(done) == {r0, r1}
+
+    engine = DelayEngine(params, CFG, dtype=jnp.float32, cache_bucket=32)
+    solo = engine.generate(g0[None], np.ones((1, g0.shape[0]), bool),
+                           max_new_tokens=16, text_temperature=0.0,
+                           audio_temperature=0.0)[0]
+    got = done[r0]
+    assert got.start_length == solo[0]
+    T = min(len(got.tokens), len(solo[1]))
+    np.testing.assert_array_equal(got.tokens[:T], solo[1][:T])
+
+    # reuse the hot request's slot with a default (greedy) request: output
+    # must be byte-identical to a fresh greedy run of the same grid
+    r2 = server.submit(g0, max_new_tokens=16)
+    done2 = {c.request_id: c for c in server.run(max_steps=400)}
+    T2 = min(len(done2[r2].tokens), len(solo[1]))
+    np.testing.assert_array_equal(done2[r2].tokens[:T2], solo[1][:T2])
+
+    with pytest.raises(ValueError):
+        server.submit(g0, sampling={"temperature": 1.0})  # unknown key
+
+
 def test_slot_reuse_isolation(setup):
     """A request admitted into a reused slot must not see the previous
     occupant's repetition history or cache."""
