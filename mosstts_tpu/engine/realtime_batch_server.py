@@ -51,6 +51,7 @@ class _RTRequest:
     text_ids: List[int]
     max_new_tokens: int
     prefill_text_len: int
+    sampling: Optional[dict] = None  # per-request generation config
 
 
 @dataclass
@@ -126,13 +127,31 @@ class RealtimeBatchServer:
         self._step_host = np.full(slots, 1 << 30, np.int64)
         self._ub_host = np.zeros(slots, np.int64)
 
+        # Per-slot sampling (per-request generation configs): raw values on
+        # host, rebuilt into the traced (slots,)-field RealtimeSampling only
+        # when an admission changes a slot (align_rows broadcasts per row
+        # inside _rt_sample / the rep-penalty gate)
+        d = self.sampling
+        self._samp_default = {
+            "temperature": float(np.asarray(d.temperature)),
+            "top_p": float(np.asarray(d.top_p)),
+            "repetition_penalty": float(np.asarray(d.repetition_penalty)),
+            "do_sample": bool(np.asarray(d.do_sample)),
+        }
+        sd = self._samp_default
+        self._samp_host = {
+            k: np.full(slots, v, np.bool_ if isinstance(v, bool) else np.float32)
+            for k, v in sd.items()
+        }
+        self._batch_sampling: Optional[RealtimeSampling] = None
+
     # ------------------------------------------------------------------
     def _prefill_fn(self, T: int, attend: int):
         key = ("prefill", T, attend)
         if key not in self._jit:
-            cfg, s, tk = self.config, self.sampling, self.top_k
+            cfg, tk = self.config, self.top_k
             self._jit[key] = jax.jit(
-                lambda p, st, ids, rv: realtime_prefill_step(
+                lambda p, st, ids, rv, s: realtime_prefill_step(
                     p, cfg, st, ids, rv, s, top_k=tk, attend_len=attend),
                 donate_argnums=(1,),
             )
@@ -141,13 +160,49 @@ class RealtimeBatchServer:
     def _step_fn(self, attend: int):
         key = ("step", attend)
         if key not in self._jit:
-            cfg, s, tk = self.config, self.sampling, self.top_k
+            cfg, tk = self.config, self.top_k
             self._jit[key] = jax.jit(
-                lambda p, st, t: realtime_decode_step(
+                lambda p, st, t, s: realtime_decode_step(
                     p, cfg, st, t, s, top_k=tk, attend_len=attend),
                 donate_argnums=(1,),
             )
         return self._jit[key]
+
+    # ---- per-slot sampling -------------------------------------------
+    def _set_slot_sampling(self, slot: int, overrides: dict):
+        h, sd = self._samp_host, self._samp_default
+        for k in sd:
+            h[k][slot] = sd[k]
+        if overrides.get("temperature") is not None:
+            # an explicit per-request temperature is authoritative:
+            # t == 0 -> greedy, t > 0 -> sampled (even on a greedy-default
+            # server)
+            t = overrides["temperature"]
+            h["temperature"][slot] = t
+            h["do_sample"][slot] = t != 0.0
+        for k in ("top_p", "repetition_penalty"):
+            if overrides.get(k) is not None:
+                h[k][slot] = overrides[k]
+        self._batch_sampling = None
+
+    def _slot_sampling(self, slot: int) -> RealtimeSampling:
+        h = self._samp_host
+        return make_rt_sampling(
+            temperature=float(h["temperature"][slot]),
+            top_p=float(h["top_p"][slot]),
+            repetition_penalty=float(h["repetition_penalty"][slot]),
+            do_sample=bool(h["do_sample"][slot]),
+        )
+
+    def _batch_sampling_dev(self) -> RealtimeSampling:
+        if self._batch_sampling is None:
+            h = self._samp_host
+            self._batch_sampling = make_rt_sampling(
+                temperature=h["temperature"], top_p=h["top_p"],
+                repetition_penalty=h["repetition_penalty"],
+                do_sample=h["do_sample"],
+            )
+        return self._batch_sampling
 
     def _insert_fn(self):
         if "insert" not in self._jit:
@@ -156,11 +211,20 @@ class RealtimeBatchServer:
 
     # ------------------------------------------------------------------
     def submit(self, grid: np.ndarray, text_ids: List[int], *,
-               max_new_tokens: int = 128, prefill_text_len: int = 12) -> int:
+               max_new_tokens: int = 128, prefill_text_len: int = 12,
+               sampling: Optional[dict] = None) -> int:
         """Queue a conversation turn: (T, 1+rvq) grid from
         RealtimeProcessor + the full text token stream (the first
         ``prefill_text_len`` go into the prefill, the rest feed one per
-        frame — reference inferencer semantics)."""
+        frame — reference inferencer semantics).
+
+        ``sampling`` optionally overrides the server defaults for THIS
+        conversation: temperature (0 = greedy) / top_p /
+        repetition_penalty."""
+        if sampling:
+            bad = set(sampling) - {"temperature", "top_p", "repetition_penalty"}
+            if bad:
+                raise ValueError(f"unknown sampling overrides: {sorted(bad)}")
         grid = np.asarray(grid, np.int64)
         if grid.ndim != 2 or grid.shape[1] != self.config.rvq + 1:
             raise ValueError(f"expected (T, {self.config.rvq + 1}) grid")
@@ -176,7 +240,8 @@ class RealtimeBatchServer:
         rid = next(self._ids)
         self._queue.append(_RTRequest(
             request_id=rid, grid=grid, text_ids=list(text_ids),
-            max_new_tokens=max_new_tokens, prefill_text_len=prefill_text_len))
+            max_new_tokens=max_new_tokens, prefill_text_len=prefill_text_len,
+            sampling=dict(sampling) if sampling else None))
         return rid
 
     def _admit(self, slot: int, req: _RTRequest):
@@ -200,8 +265,10 @@ class RealtimeBatchServer:
             jax.random.PRNGKey(hash(("rt-req", req.request_id)) & 0x7FFFFFFF),
             dtype=self.dtype)
         attend = attend_bucket(Tb, max(self.prompt_bucket, 128), self.cache_len)
+        self._set_slot_sampling(slot, req.sampling or {})
         small, _frame = self._prefill_fn(Tb, attend)(
-            self.params, small, jnp.asarray(ids), jnp.asarray(valid))
+            self.params, small, jnp.asarray(ids), jnp.asarray(valid),
+            self._slot_sampling(slot))
         self.state = self._insert_fn()(
             self.state, small, jnp.int32(slot), jnp.int32(Tb))
         self._active[slot] = req
@@ -236,7 +303,8 @@ class RealtimeBatchServer:
         attend = attend_bucket(max_ub + 2, max(self.prompt_bucket, 128),
                                self.cache_len)
         self.state, _frame = self._step_fn(attend)(
-            self.params, self.state, jnp.asarray(toks, jnp.int32))
+            self.params, self.state, jnp.asarray(toks, jnp.int32),
+            self._batch_sampling_dev())
         self.total_steps += 1
         self._step_host[active] += 1
         self._ub_host[active] += 1
@@ -299,7 +367,8 @@ class RealtimeBatchServer:
             attend = attend_bucket(max_ub + 2, max(self.prompt_bucket, 128),
                                    self.cache_len)
             self.state, _f = self._step_fn(attend)(
-                self.params, self.state, jnp.asarray(toks, jnp.int32))
+                self.params, self.state, jnp.asarray(toks, jnp.int32),
+                self._batch_sampling_dev())
             self.total_steps += 1
             self._step_host[active] += 1
             self._ub_host[active] += 1
@@ -339,13 +408,15 @@ class RealtimeBatchServer:
             ids[0, -1, 1] = cfg.audio_bos_token
             valid = np.ones((1, Tb), bool)
             small, _ = self._prefill_fn(Tb, attend)(
-                self.params, small, jnp.asarray(ids), jnp.asarray(valid))
+                self.params, small, jnp.asarray(ids), jnp.asarray(valid),
+                self._slot_sampling(0))
             self.state = self._insert_fn()(self.state, small, jnp.int32(0),
                                            jnp.int32(Tb))
         a = max(self.prompt_bucket, 128)
         toks = jnp.full((self.slots,), self.text_pad_id, jnp.int32)
         while True:
-            self.state, _ = self._step_fn(a)(self.params, self.state, toks)
+            self.state, _ = self._step_fn(a)(
+                self.params, self.state, toks, self._batch_sampling_dev())
             if a >= min(upto, self.cache_len):
                 break
             a = attend_bucket(a + 1, max(self.prompt_bucket, 128), self.cache_len)

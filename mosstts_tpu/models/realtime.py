@@ -82,29 +82,36 @@ class RealtimeSampling(NamedTuple):
 
 def make_rt_sampling(temperature=0.8, top_p=0.6, repetition_penalty=1.1,
                      do_sample=True) -> RealtimeSampling:
-    rp = 1.0 if repetition_penalty is None else float(repetition_penalty)
+    """Every knob also accepts a (B,) array — one value per batch row
+    (RealtimeBatchServer per-request generation configs; align_rows
+    broadcasts at the apply sites). temperature 0 means greedy."""
+    rp = 1.0 if repetition_penalty is None else repetition_penalty
+    t = jnp.asarray(temperature, jnp.float32)
+    rp = jnp.asarray(rp, jnp.float32)
     return RealtimeSampling(
-        temperature=jnp.float32(temperature),
-        top_p=jnp.float32(top_p),
-        repetition_penalty=jnp.float32(rp),
-        do_sample=jnp.bool_(bool(do_sample) and float(temperature) != 0.0),
-        use_penalty=jnp.bool_(rp != 1.0),
+        temperature=t,
+        top_p=jnp.asarray(top_p, jnp.float32),
+        repetition_penalty=rp,
+        do_sample=jnp.asarray(do_sample, jnp.bool_) & (t != 0.0),
+        use_penalty=rp != 1.0,
     )
 
 
 def _rt_sample(rng, logits, s: RealtimeSampling, top_k: int):
     """Reference sampling order (streaming:338-356): penalty on RAW logits
     (done by caller), then temperature -> top-k -> top-p -> multinomial."""
+    from ..ops.sampling import align_rows
+
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    scaled = logits / jnp.maximum(s.temperature, 1e-6)
+    scaled = logits / align_rows(jnp.maximum(s.temperature, 1e-6), logits.ndim)
     k = min(top_k, logits.shape[-1]) if top_k and top_k > 0 else logits.shape[-1]
     vals, idx = jax.lax.top_k(scaled, k)
     probs = jax.nn.softmax(vals.astype(jnp.float32), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    vals = jnp.where((cum - probs) < s.top_p, vals, NEG_INF)
+    vals = jnp.where((cum - probs) < align_rows(s.top_p, cum.ndim), vals, NEG_INF)
     choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
     sampled = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
-    return jnp.where(s.do_sample, sampled, greedy)
+    return jnp.where(align_rows(s.do_sample, sampled.ndim), sampled, greedy)
 
 
 def depth_generate_frame(

@@ -144,6 +144,37 @@ def test_realtime_server_block_mode_matches_solo():
         np.testing.assert_array_equal(got[:n], ref[:n])
 
 
+def test_realtime_server_per_request_sampling():
+    """A greedy conversation must match solo output exactly while its slot
+    neighbor decodes hot under a per-request override, and a reused slot
+    resets to defaults."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(4), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    reqs = _requests(rng, 3)
+
+    server = _make_server(params)  # defaults: greedy
+    r0 = server.submit(*reqs[0], max_new_tokens=10)
+    r1 = server.submit(*reqs[1], max_new_tokens=10, sampling=dict(
+        temperature=1.5, top_p=0.95, repetition_penalty=1.3))
+    done = {c.request_id: c for c in server.run(max_steps=300)}
+    # reuse a slot with a default request afterwards
+    r2 = server.submit(*reqs[2], max_new_tokens=9)
+    done.update({c.request_id: c for c in server.run(max_steps=300)})
+    assert set(done) == {r0, r1, r2}
+
+    for rid, i, mn in ((r0, 0, 10), (r2, 2, 9)):
+        ref = _solo_frames(params, *reqs[i], mn)
+        got = done[rid].frames
+        n = min(len(ref), len(got), mn)
+        assert n >= mn - 1
+        np.testing.assert_array_equal(got[:n], ref[:n])
+
+    with pytest.raises(ValueError):
+        server.submit(*reqs[0], sampling={"top_k": 5})  # unknown key
+
+
 def test_realtime_server_submit_validation():
     from mosstts_tpu.models.realtime import init_realtime_params
 
