@@ -33,7 +33,7 @@ from ..engine.metrics import SynthesisMetrics
 from ..utils.native import float_to_pcm16
 
 _STATE = {"last_metrics": None, "lock": threading.Lock(), "args": None,
-          "token_cache": None}
+          "token_cache": None, "pool": None}
 
 
 def _token_cache():
@@ -123,7 +123,19 @@ class Handler(BaseHTTPRequestHandler):
         from .backend import load_delay_backend
 
         a = _STATE["args"]
-        return load_delay_backend(a.model_path, a.codec_path)
+        backend = load_delay_backend(a.model_path, a.codec_path)
+        if getattr(a, "pool_slots", 0):
+            with _STATE["lock"]:
+                if _STATE.get("pool") is None:
+                    from .pool import DelayServingPool
+
+                    _STATE["pool"] = DelayServingPool(
+                        backend.engine.params, backend.engine.config,
+                        slots=a.pool_slots, dtype=backend.engine.dtype,
+                        kv_quant=getattr(backend.engine, "kv_quant", False),
+                    )
+                backend.pool = _STATE["pool"]
+        return backend
 
     def _tts(self, body):
         from .pipelines import synthesize
@@ -260,6 +272,10 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=7860)
     ap.add_argument("--model-path", default=None)
     ap.add_argument("--codec-path", default=None)
+    ap.add_argument("--pool-slots", type=int, default=0,
+                    help="share one continuous-batching pool of this many "
+                         "slots across concurrent /tts-family requests "
+                         "(0 = solo engine per request)")
     args = ap.parse_args(argv)
     _STATE["args"] = args
     server = ThreadingHTTPServer((args.host, args.port), Handler)

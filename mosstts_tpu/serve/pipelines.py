@@ -37,6 +37,10 @@ class DelayBackend:
     # demo (random-init) backends kickstart generation-mode prompts with an
     # <audio_start> row so every flow produces audio without trained weights
     demo: bool = False
+    # optional shared continuous-batching pool (serve/pool.py): when set,
+    # _generate_and_decode routes through it so concurrent callers share
+    # batch slots instead of running solo generates
+    pool: Optional[object] = None
 
 
 def _generate_and_decode(
@@ -57,7 +61,9 @@ def _generate_and_decode(
             "input_ids": np.concatenate([ids, row], axis=1),
             "attention_mask": np.concatenate([mask, np.ones((B, 1), bool)], axis=1),
         }
-    out = backend.engine.generate(
+    gen = (backend.pool.generate if backend.pool is not None
+           and not rp_exact_mode else backend.engine.generate)
+    out = gen(
         batch["input_ids"], batch["attention_mask"],
         max_new_tokens=max_new_tokens,
         text_temperature=text_temperature, text_top_p=text_top_p,

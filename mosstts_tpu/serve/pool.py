@@ -1,0 +1,132 @@
+"""Serving pool: concurrent request threads -> one continuous-batching
+server.
+
+The HTTP front end (serve/http_server.py) is a ThreadingHTTPServer; without
+a pool every concurrent /tts request runs its own solo batch-1 generate —
+the chip time-slices between them. The pool gives the process ONE
+DelayBatchServer and a background decode thread; request threads submit and
+block on a completion event, so concurrent requests share batch slots
+(mid-flight admission, per-request sampling) instead of competing.
+
+``DelayServingPool.generate`` is engine-signature-compatible (same args,
+same [(start_length, tokens)] return), so serve/pipelines._generate_and_
+decode uses it as a drop-in engine replacement when the backend carries a
+pool (http_server --pool-slots).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class DelayServingPool:
+    """Thread-safe façade over DelayBatchServer.
+
+    One background thread owns the decode loop; any number of request
+    threads call :meth:`generate`. All server mutation happens under one
+    lock — JAX dispatch itself is quick (enqueue), so the lock is held for
+    host bookkeeping plus dispatch, never for device round-trips beyond the
+    server's own poll cadence.
+    """
+
+    def __init__(self, params, config, *, slots: int = 4, idle_wait: float = 0.02,
+                 **server_kw):
+        from ..engine.batch_server import DelayBatchServer
+
+        self.server = DelayBatchServer(params, config, slots=slots, **server_kw)
+        self._lock = threading.Lock()
+        self._results: Dict[int, object] = {}
+        self._events: Dict[int, threading.Event] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._idle_wait = idle_wait
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mosstts-serving-pool")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def warmup(self, **kw):
+        with self._lock:
+            self.server.warmup(**kw)
+
+    def close(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _loop(self):
+        while not self._stop:
+            with self._lock:
+                busy = bool(self.server._active or self.server._queue)
+                done = self.server.step() if busy else []
+            for c in done:
+                self._results[c.request_id] = c
+                ev = self._events.pop(c.request_id, None)
+                if ev is not None:
+                    ev.set()
+            if not busy:
+                self._wake.wait(self._idle_wait)
+                self._wake.clear()
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        input_ids: np.ndarray,  # (B, T, C) left-padded
+        attention_mask: Optional[np.ndarray] = None,
+        *,
+        max_new_tokens: int = 1000,
+        text_temperature: float = 1.5,
+        text_top_p: float = 1.0,
+        text_top_k: int = 50,  # accepted for engine parity; top-k is a
+        audio_top_k: int = 25,  # server-static compile knob, not per-request
+        audio_temperature: float = 1.7,
+        audio_top_p: float = 0.8,
+        audio_repetition_penalty: float = 1.0,
+        audio_rp_cross_batch: bool = False,
+        seed: int = 0,  # accepted for parity; the pool derives per-request rng
+        on_device: bool = False,  # accepted for parity; pool decode is stepwise
+        poll_every: int = 8,
+        timeout: Optional[float] = None,
+    ) -> List[Tuple[int, np.ndarray]]:
+        """Engine-compatible batched generate THROUGH the shared pool: each
+        row becomes one pool request (its left-pads stripped — the server
+        re-pads to its prompt bucket), carrying this call's sampling as its
+        per-request config. Blocks until all rows complete."""
+        del text_top_k, audio_top_k, seed, on_device, poll_every
+        if audio_rp_cross_batch:
+            raise ValueError(
+                "audio_rp_cross_batch ties rows of ONE batch together; pool "
+                "requests are independent — use the solo engine for exact-"
+                "reference repetition-penalty runs")
+        input_ids = np.asarray(input_ids, np.int64)
+        B, T, C = input_ids.shape
+        if attention_mask is None:
+            attention_mask = np.ones((B, T), bool)
+        sampling = dict(
+            text_temperature=text_temperature, text_top_p=text_top_p,
+            audio_temperature=audio_temperature, audio_top_p=audio_top_p,
+            audio_repetition_penalty=audio_repetition_penalty,
+        )
+        rids, events = [], []
+        with self._lock:
+            for b in range(B):
+                valid = np.nonzero(attention_mask[b])[0]
+                grid = input_ids[b, valid[0]:] if len(valid) else input_ids[b, -1:]
+                rid = self.server.submit(grid, max_new_tokens=max_new_tokens,
+                                         sampling=sampling)
+                ev = threading.Event()
+                self._events[rid] = ev
+                rids.append(rid)
+                events.append(ev)
+        self._wake.set()
+        for ev in events:
+            if not ev.wait(timeout):
+                raise TimeoutError("pool generate timed out")
+        out = []
+        for rid in rids:
+            c = self._results.pop(rid)
+            out.append((c.start_length, c.tokens))
+        return out
