@@ -339,13 +339,22 @@ def local_frame_step(
     lc = cfg.language_config
     rng, rng_depth = jax.random.split(state.rng)
 
+    # (B,) per-row cursors = continuous-batching server state (slots sit at
+    # different conversation lengths); scalar = the solo/lock-step engines
+    per_row = jnp.ndim(state.pos) == 1
+
     embeds = local_embed(params, cfg, state.cur_ids, n_vq_infer)
-    positions = jnp.broadcast_to(state.pos[None, None], (B, 1)).astype(jnp.int32)
+    if per_row:
+        positions = state.pos[:, None].astype(jnp.int32)
+        cache_offset = state.pos
+    else:
+        positions = jnp.broadcast_to(state.pos[None, None], (B, 1)).astype(jnp.int32)
+        cache_offset = jnp.full((B,), state.pos, jnp.int32)  # scatter path
     hidden, cache = qwen3_forward(
         params["backbone"], lc, embeds,
         positions=positions, kv_valid=state.kv_valid,
         cache=state.cache,
-        cache_offset=jnp.full((B,), state.pos, jnp.int32),  # scatter path
+        cache_offset=cache_offset,
         attend_len=attend_len,
     )
     g = hidden[:, -1]
@@ -367,12 +376,29 @@ def local_frame_step(
     seen_text = seen_mask_update(state.seen_text, tok0, active=state.unfinished)
 
     frame = jnp.concatenate([tok0[:, None], audio], axis=1)
-    out = jax.lax.dynamic_update_slice(state.out, frame[:, None, :], (0, state.step, 0))
-    kv_valid = state.kv_valid.at[:, state.pos + 1].set(True)
+    if per_row:
+        rows = jnp.arange(B)
+        cap = state.out.shape[1]
+        S = state.kv_valid.shape[1]
+        out = state.out.at[rows, jnp.clip(state.step, 0, cap - 1)].set(frame)
+        # only ADVANCING rows validate their next slot — a frozen row's
+        # next slot is never written, so marking it valid would attend
+        # garbage; stopped/idle rows also freeze their cursor
+        adv = state.unfinished
+        kv_valid = state.kv_valid.at[
+            rows, jnp.clip(state.pos + 1, 0, S - 1)].max(adv)
+        pos_next = state.pos + adv.astype(jnp.int32)
+        step_next = state.step + adv.astype(jnp.int32)
+    else:
+        out = jax.lax.dynamic_update_slice(
+            state.out, frame[:, None, :], (0, state.step, 0))
+        kv_valid = state.kv_valid.at[:, state.pos + 1].set(True)
+        pos_next = state.pos + 1
+        step_next = state.step + 1
 
     return state._replace(
         cache=cache, kv_valid=kv_valid, cur_ids=frame[:, None, :],
-        pos=state.pos + 1, step=state.step + 1, rng=rng,
+        pos=pos_next, step=step_next, rng=rng,
         unfinished=unfinished, seen_text=seen_text, seen_audio=seen_audio, out=out,
     )
 
