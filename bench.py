@@ -441,6 +441,111 @@ def run_realtime_server(args) -> dict:
     }
 
 
+def run_local_server(args) -> dict:
+    """Local-family continuous batching: mixed-length requests through
+    LocalBatchServer vs lock-step static groups through LocalEngine
+    (both all-greedy; the local step = backbone + O(Nq) cached depth
+    scan)."""
+    from mosstts_tpu.core.config import LocalConfig, qwen3_1p7b
+    from mosstts_tpu.engine.local_batch_server import LocalBatchServer
+    from mosstts_tpu.engine.local_engine import LocalEngine
+    from mosstts_tpu.models.local import init_local_params
+    from mosstts_tpu.ops.quant import quantize_tree, random_quantized_like
+
+    slots = args.batch or 8
+    n_requests = slots * 3
+    if args.tiny:
+        from mosstts_tpu.core.config import tiny_qwen3
+
+        cfg = LocalConfig(
+            language_config=tiny_qwen3(), n_vq=4,
+            additional_mlp_ffn_hidden_size=32, local_ffn_hidden_size=48,
+            local_hidden_size=24, local_num_layers=2)
+        params = init_local_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+        dt = jnp.float32
+    else:
+        cfg = LocalConfig(language_config=qwen3_1p7b())
+        shapes = jax.eval_shape(
+            lambda k: init_local_params(k, cfg, dtype=jnp.bfloat16),
+            jax.random.PRNGKey(0))
+        params = random_quantized_like(shapes, seed=0)
+        dt = jnp.bfloat16
+        del quantize_tree
+
+    rng = np.random.default_rng(0)
+    prompts = []
+    for _ in range(n_requests):
+        T = int(rng.integers(24, 64))
+        g = rng.integers(0, 1000, (T, cfg.channels))
+        g[..., 1:] = rng.integers(0, 1024, (T, cfg.n_vq))
+        g[2, 0] = cfg.audio_start_token_id
+        prompts.append(g)
+    max_news = [int(x) for x in rng.integers(args.steps // 2, args.steps,
+                                             n_requests)]
+    greedy = dict(do_samples=[False] * cfg.channels)
+
+    server = LocalBatchServer(
+        params, cfg, slots=slots, cache_len=512,
+        out_capacity=args.steps + 8, prompt_bucket=32, dtype=dt, **greedy)
+    log(f"[local-server] warmup + run ({slots} slots)...")
+    # warm via a short dummy request (compiles prefill + first step bucket)
+    server.submit(prompts[0][:32], max_new_tokens=2)
+    server.run()
+    for g, mn in zip(prompts, max_news):
+        server.submit(g, max_new_tokens=mn)
+    t0 = time.perf_counter()
+    done = server.run(max_steps=100000)
+    cb_elapsed = time.perf_counter() - t0
+    cb_frames = sum(c.steps for c in done)
+
+    engine = LocalEngine(params, cfg, dtype=dt, cache_bucket=256)
+    log("[local-server] static comparison...")
+    pad_T = 64
+
+    def batchify(group):
+        ids = np.stack([
+            np.concatenate([np.full((pad_T - len(g), cfg.channels),
+                                    cfg.pad_token_id, np.int64), g])
+            for g in group])
+        msk = np.stack([
+            np.concatenate([np.zeros(pad_T - len(g), bool),
+                            np.ones(len(g), bool)]) for g in group])
+        return ids, msk
+
+    ids, msk = batchify(prompts[:slots])
+    engine.generate(ids, msk, max_new_tokens=4, **greedy)
+    t0 = time.perf_counter()
+    static_frames = 0
+    for i in range(0, n_requests, slots):
+        group = prompts[i:i + slots]
+        mns = max_news[i:i + slots]
+        ids, msk = batchify(group)
+        engine.generate(ids, msk, max_new_tokens=max(mns), **greedy)
+        static_frames += max(mns) * len(group)
+    static_elapsed = time.perf_counter() - t0
+
+    cb_fps = cb_frames / cb_elapsed
+    st_fps = static_frames / static_elapsed
+    return {
+        "metric": "local_continuous_batching_frames_per_sec",
+        "value": round(cb_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(cb_fps / max(st_fps, 1e-9), 3),
+        "detail": {
+            "slots": slots, "requests": n_requests,
+            "decode_steps": server.total_steps,
+            "useful_frames": cb_frames,
+            "cb_wall_s": round(cb_elapsed, 1),
+            "static_frames_per_sec": round(st_fps, 1),
+            "static_wall_s": round(static_elapsed, 1),
+            "total_x_realtime": round(cb_fps / 12.5, 1),
+            "int8": not args.tiny,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def run_batch_server(args) -> dict:
     """Continuous batching vs a static batch at equal load: N requests with
     mixed lengths through DelayBatchServer (mid-flight admission) vs the
@@ -709,6 +814,9 @@ def main():
     ap.add_argument("--rt-server", action="store_true",
                     help="realtime continuous batching (RealtimeBatchServer) "
                          "vs lock-step static groups at equal load")
+    ap.add_argument("--local-server", action="store_true",
+                    help="local-family continuous batching (LocalBatchServer)"
+                         " vs lock-step static groups at equal load")
     ap.add_argument("--paged", action="store_true",
                     help="with --batch-server: also run the paged-KV server "
                          "(60%% page pool, Pallas paged decode attention) "
@@ -728,6 +836,9 @@ def main():
         return
     if args.rt_server:
         print(json.dumps(run_realtime_server(args)))
+        return
+    if args.local_server:
+        print(json.dumps(run_local_server(args)))
         return
     if args.family == "local":
         print(json.dumps(run_local_family(args)))
