@@ -331,7 +331,11 @@ class RealtimeBatchServer:
         hist = np.asarray(jax.device_get(self.state.history))
         done: List[CompletedStream] = []
         for slot, req in finished:
-            n = int(min(self._step_host[slot], self.max_frames))
+            # clamp to the request's budget: block-mode decoding can run a
+            # few frames past it before this poll (same contract as the
+            # delay/local servers)
+            n = int(min(self._step_host[slot], req.max_new_tokens,
+                        self.max_frames))
             frames = hist[slot, :n]
             eos = np.nonzero(frames[:, 0] == self.config.audio_eos_token)[0]
             if len(eos):
@@ -352,12 +356,17 @@ class RealtimeBatchServer:
         one poll): per-dispatch host latency overlaps on the device-chained
         state — the same pipelining that holds the solo engine's frame
         cost down. Admission granularity coarsens to ``n`` frames
-        (n/12.5 s), the throughput-serving trade."""
+        (n/12.5 s), the throughput-serving trade. The block breaks early
+        when any slot hits its token budget, bounding the post-budget
+        overrun to one frame (the cache slack submit() reserves)."""
         self._fill_free_slots()
         if not self._active:
             return []
         active = sorted(self._active)
         for _ in range(n):
+            if any(self._step_host[s] >= self._active[s].max_new_tokens
+                   for s in active):
+                break
             toks = np.full(self.slots, self.text_pad_id, np.int64)
             for slot in active:
                 rest = self._text_rest[slot]
@@ -393,6 +402,7 @@ class RealtimeBatchServer:
         """Precompile every program the serving load can hit (prefill per
         prompt bucket, decode step per attend bucket, the splice) so no
         remote compile lands mid-serve."""
+        assert not self._active and not self._queue, "warmup on a busy server"
         cfg = self.config
         upto = attend_upto or self.cache_len
         for T in prompt_lens:

@@ -13,15 +13,18 @@ one device and only ever moves one block per step over ICI, so peak memory
 per device stays O(T/n) and the transfers pipeline against the block dots.
 
 Layout: by default blocks are CONTIGUOUS sequence chunks, so under causal
-masking device d's queries attend ~d+1 of the n blocks — the classic ring
-load imbalance (device n-1 does n times device 0's work). ``layout=
-"zigzag"`` instead pairs stripe i with stripe 2n-1-i on device i (the
-striped layout from the ring-attention literature): every device's causal
-work sums to the same constant, so the slowest ring step shrinks from
-O(n) blocks of useful work to O(n/2 + 1). Because positions and validity
-ride WITH the blocks, the ring body is layout-oblivious — zigzag is one
-gather before and one inverse gather after, numerics identical (pinned in
-tests/test_ring_attention.py).
+masking device d's queries have ~d+1 of the n blocks' worth of USEFUL
+work — the classic ring imbalance (device n-1 owns n times device 0's
+unmasked score elements). ``layout="zigzag"`` pairs stripe i with stripe
+2n-1-i on device i (the striped layout from the ring-attention
+literature), equalizing per-device useful work (pinned statically in
+tests/test_ring_attention.py). The fold SKIPS fully-masked blocks at
+runtime via ``lax.cond`` — under the contiguous layout those skips land
+unevenly (late devices never skip), under zigzag every device skips the
+same number of rounds, so the balanced useful work becomes balanced
+runtime. Zigzag costs one gather in and one inverse gather out; numerics
+are identical in either layout because positions and validity ride WITH
+the blocks.
 
 All math in fp32; positions/validity ride with the blocks so causality and
 left-padding are handled by masking alone (parity with
@@ -78,21 +81,23 @@ def ring_attention_shard(
     G = H // KV
 
     qf = q.astype(jnp.float32).reshape(B, Tq, KV, G, hd) * scale
-    m = jnp.full((B, KV, G, Tq), NEG_INF, jnp.float32)  # running max
-    l = jnp.zeros((B, KV, G, Tq), jnp.float32)  # running sum of exp
-    acc = jnp.zeros((B, KV, G, Tq, hd), jnp.float32)
+    # pvary: the accumulators are per-device state; without the marking the
+    # block-skip lax.cond's branches disagree on varying-axis types (the
+    # fold output varies over the ring axis, a passthrough of unvaried
+    # constants does not)
+    m = jax.lax.pvary(jnp.full((B, KV, G, Tq), NEG_INF, jnp.float32),
+                      (axis_name,))  # running max
+    l = jax.lax.pvary(jnp.zeros((B, KV, G, Tq), jnp.float32), (axis_name,))
+    acc = jax.lax.pvary(jnp.zeros((B, KV, G, Tq, hd), jnp.float32),
+                        (axis_name,))
 
     perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
 
-    def fold(m, l, acc, k_blk, v_blk, pos_blk, valid_blk):
+    def fold(m, l, acc, mask, k_blk, v_blk):
         scores = jnp.einsum(
             "bqkgh,bskh->bkgqs", qf, k_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )  # (B, KV, G, Tq, Tk)
-        rel = q_positions[:, :, None] - pos_blk[:, None, :]  # (B, Tq, Tk)
-        mask = (rel >= 0) & valid_blk[:, None, :]
-        if window is not None:
-            mask = mask & (rel < window)
         scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
         blk_max = jnp.max(scores, axis=-1)  # (B, KV, G, Tq)
         new_m = jnp.maximum(m, blk_max)
@@ -109,7 +114,22 @@ def ring_attention_shard(
 
     blk = (k, v, kv_positions, kv_valid)
     for step in range(axis_size):
-        m, l, acc = fold(m, l, acc, *blk)
+        k_blk, v_blk, pos_blk, valid_blk = blk
+        rel = q_positions[:, :, None] - pos_blk[:, None, :]  # (B, Tq, Tk)
+        mask = (rel >= 0) & valid_blk[:, None, :]
+        if window is not None:
+            mask = mask & (rel < window)
+        # BLOCK SKIPPING: a fully-masked block (every kv position after
+        # every q position on this device — the common case for late ring
+        # rounds under causal masking) contributes nothing; lax.cond skips
+        # its two einsums at runtime. This is what makes the zigzag layout
+        # pay: balanced USEFUL work per device = balanced runtime.
+        m, l, acc = jax.lax.cond(
+            jnp.any(mask),
+            lambda m, l, acc, mask, kb, vb: fold(m, l, acc, mask, kb, vb),
+            lambda m, l, acc, mask, kb, vb: (m, l, acc),
+            m, l, acc, mask, k_blk, v_blk,
+        )
         if step + 1 < axis_size:
             blk = tuple(
                 jax.lax.ppermute(x, axis_name, perm) for x in blk)

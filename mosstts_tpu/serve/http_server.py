@@ -129,10 +129,14 @@ class Handler(BaseHTTPRequestHandler):
                 if _STATE.get("pool") is None:
                     from .pool import DelayServingPool
 
+                    # size for the /tts default max_new_tokens=2000: the
+                    # server clamps each request to out_capacity and the
+                    # cache must hold prompt + generation + poll slack
                     _STATE["pool"] = DelayServingPool(
                         backend.engine.params, backend.engine.config,
                         slots=a.pool_slots, dtype=backend.engine.dtype,
                         kv_quant=getattr(backend.engine, "kv_quant", False),
+                        out_capacity=2048, cache_len=4096,
                     )
                 backend.pool = _STATE["pool"]
         return backend

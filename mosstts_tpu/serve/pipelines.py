@@ -61,8 +61,14 @@ def _generate_and_decode(
             "input_ids": np.concatenate([ids, row], axis=1),
             "attention_mask": np.concatenate([mask, np.ones((B, 1), bool)], axis=1),
         }
-    gen = (backend.pool.generate if backend.pool is not None
-           and not rp_exact_mode else backend.engine.generate)
+    use_pool = (
+        backend.pool is not None
+        and not rp_exact_mode  # cross-batch penalty ties rows together
+        # top-k widths are compile-static on the pool's server; requests
+        # needing other widths run solo
+        and backend.pool.supports(text_top_k=text_top_k, audio_top_k=top_k)
+    )
+    gen = backend.pool.generate if use_pool else backend.engine.generate
     out = gen(
         batch["input_ids"], batch["attention_mask"],
         max_new_tokens=max_new_tokens,

@@ -41,10 +41,18 @@ class DelayServingPool:
         self._events: Dict[int, threading.Event] = {}
         self._wake = threading.Event()
         self._stop = False
+        self._error: Optional[BaseException] = None
         self._idle_wait = idle_wait
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="mosstts-serving-pool")
         self._thread.start()
+
+    def supports(self, *, text_top_k: int, audio_top_k: int) -> bool:
+        """top-k widths are SERVER-STATIC compile knobs (one program per
+        width); a request needing different widths must use the solo
+        engine — pipelines falls back automatically."""
+        return (text_top_k == self.server.top_k_text
+                and audio_top_k == self.server.top_k_audio)
 
     # ------------------------------------------------------------------
     def warmup(self, **kw):
@@ -59,9 +67,18 @@ class DelayServingPool:
     # ------------------------------------------------------------------
     def _loop(self):
         while not self._stop:
-            with self._lock:
-                busy = bool(self.server._active or self.server._queue)
-                done = self.server.step() if busy else []
+            try:
+                with self._lock:
+                    busy = bool(self.server._active or self.server._queue)
+                    done = self.server.step() if busy else []
+            except BaseException as e:  # noqa: BLE001 - surfaced to callers
+                # a dead decode thread must FAIL every pending and future
+                # generate() loudly, not hang them on their events forever
+                self._error = e
+                for ev in list(self._events.values()):
+                    ev.set()
+                self._events.clear()
+                return
             for c in done:
                 self._results[c.request_id] = c
                 ev = self._events.pop(c.request_id, None)
@@ -80,8 +97,8 @@ class DelayServingPool:
         max_new_tokens: int = 1000,
         text_temperature: float = 1.5,
         text_top_p: float = 1.0,
-        text_top_k: int = 50,  # accepted for engine parity; top-k is a
-        audio_top_k: int = 25,  # server-static compile knob, not per-request
+        text_top_k: int = 50,  # must match the pool's server-static widths
+        audio_top_k: int = 25,  # (see supports(); pipelines gates on it)
         audio_temperature: float = 1.7,
         audio_top_p: float = 0.8,
         audio_repetition_penalty: float = 1.0,
@@ -95,7 +112,13 @@ class DelayServingPool:
         row becomes one pool request (its left-pads stripped — the server
         re-pads to its prompt bucket), carrying this call's sampling as its
         per-request config. Blocks until all rows complete."""
-        del text_top_k, audio_top_k, seed, on_device, poll_every
+        del seed, on_device, poll_every
+        if not self.supports(text_top_k=text_top_k, audio_top_k=audio_top_k):
+            raise ValueError(
+                f"pool compiled with top_k=({self.server.top_k_text}, "
+                f"{self.server.top_k_audio}) but the request asked "
+                f"({text_top_k}, {audio_top_k}); use the solo engine "
+                "(pipelines falls back automatically)")
         if audio_rp_cross_batch:
             raise ValueError(
                 "audio_rp_cross_batch ties rows of ONE batch together; pool "
@@ -110,6 +133,8 @@ class DelayServingPool:
             audio_temperature=audio_temperature, audio_top_p=audio_top_p,
             audio_repetition_penalty=audio_repetition_penalty,
         )
+        if self._error is not None:
+            raise RuntimeError("serving pool decode thread died") from self._error
         rids, events = [], []
         with self._lock:
             for b in range(B):
@@ -125,6 +150,8 @@ class DelayServingPool:
         for ev in events:
             if not ev.wait(timeout):
                 raise TimeoutError("pool generate timed out")
+        if self._error is not None:
+            raise RuntimeError("serving pool decode thread died") from self._error
         out = []
         for rid in rids:
             c = self._results.pop(rid)
