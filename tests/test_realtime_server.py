@@ -144,6 +144,20 @@ def test_realtime_server_block_mode_matches_solo():
         np.testing.assert_array_equal(got[:n], ref[:n])
 
 
+def test_realtime_server_block_respects_budget():
+    """Block mode must not return more frames than max_new_tokens (the
+    block breaks early on a hit budget and _collect clamps)."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    (grid, text), = _requests(rng, 1)
+    server = _make_server(params)
+    rid = server.submit(grid, text, max_new_tokens=6)
+    done = {c.request_id: c for c in server.run(max_steps=100, block=8)}
+    assert len(done[rid].frames) <= 6
+
+
 def test_realtime_server_per_request_sampling():
     """A greedy conversation must match solo output exactly while its slot
     neighbor decodes hot under a per-request override, and a reused slot

@@ -67,6 +67,46 @@ def test_pool_concurrent_callers_match_solo():
         pool.close()
 
 
+def test_pool_dead_thread_surfaces_error():
+    """If the decode thread dies, pending and future generate() calls must
+    raise (not hang forever on their events)."""
+    params = init_delay_params(jax.random.PRNGKey(1), CFG, dtype=jnp.float32)
+    pool = DelayServingPool(
+        params, CFG, slots=2, cache_len=128, out_capacity=16,
+        prompt_bucket=16, dtype=jnp.float32)
+    try:
+        def boom(*a, **kw):
+            raise RuntimeError("injected step failure")
+
+        pool.server.step = boom
+        rng = np.random.default_rng(1)
+        ids = _grid(rng, 8)[None]
+        import pytest
+        with pytest.raises((RuntimeError, TimeoutError)):
+            pool.generate(ids, max_new_tokens=4, timeout=30)
+        with pytest.raises(RuntimeError):
+            pool.generate(ids, max_new_tokens=4, timeout=30)
+    finally:
+        pool.close()
+
+
+def test_pool_rejects_mismatched_top_k():
+    params = init_delay_params(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    pool = DelayServingPool(
+        params, CFG, slots=2, cache_len=128, out_capacity=16,
+        prompt_bucket=16, dtype=jnp.float32)
+    try:
+        assert pool.supports(text_top_k=50, audio_top_k=25)
+        assert not pool.supports(text_top_k=50, audio_top_k=50)
+        rng = np.random.default_rng(3)
+        import pytest
+        with pytest.raises(ValueError):
+            pool.generate(_grid(rng, 8)[None], max_new_tokens=4,
+                          audio_top_k=50)
+    finally:
+        pool.close()
+
+
 def test_pool_backend_pipeline_integration():
     """pipelines._generate_and_decode routes through backend.pool: the
     synthesize flow completes end-to-end via the shared server (demo
