@@ -47,6 +47,7 @@ class _Request:
     max_new_tokens: int
     start_length: int
     sampling: Optional[dict] = None  # per-request generation config
+    seed: Optional[int] = None  # caller rng seed; None = derive from id
 
 
 @dataclass
@@ -64,7 +65,9 @@ def _splice_fields(big: DelayGenState, small: DelayGenState, r: int, cache) -> D
         cur_ids=big.cur_ids.at[r].set(small.cur_ids[0]),
         pos=big.pos.at[r].set(small.pos[0]),
         step=big.step.at[r].set(small.step[0]),
-        rng=big.rng,
+        # per-row keys: the admitted request carries its own (possibly
+        # seeded) stream into the slot
+        rng=big.rng.at[r].set(small.rng[0]),
         is_stopping=big.is_stopping.at[r].set(small.is_stopping[0]),
         is_audio=big.is_audio.at[r].set(small.is_audio[0]),
         audio_lengths=big.audio_lengths.at[r].set(small.audio_lengths[0]),
@@ -242,7 +245,7 @@ class DelayBatchServer:
             cur_ids=jnp.zeros((B, 1, C), jnp.int32),
             pos=jnp.zeros((B,), jnp.int32),
             step=jnp.full((B,), self.out_capacity, jnp.int32),  # idle: out writes drop
-            rng=jax.random.PRNGKey(0),
+            rng=jax.random.split(jax.random.PRNGKey(0), B),
             is_stopping=jnp.ones((B,), jnp.bool_),  # idle slots are "stopped"
             is_audio=jnp.zeros((B,), jnp.bool_),
             audio_lengths=jnp.zeros((B,), jnp.int32),
@@ -397,7 +400,8 @@ class DelayBatchServer:
 
     # ------------------------------------------------------------------
     def submit(self, input_ids: np.ndarray, *, max_new_tokens: int = 256,
-               sampling: Optional[dict] = None) -> int:
+               sampling: Optional[dict] = None,
+               seed: Optional[int] = None) -> int:
         """Queue a request; (T, C) grid from the processor. Returns id.
 
         ``sampling`` optionally overrides the server defaults for THIS
@@ -415,10 +419,21 @@ class DelayBatchServer:
         cfg = self.config
         matches = np.nonzero(input_ids[:, 0] == cfg.im_start_token_id)[0]
         start_idx = int(matches[-1]) + 3 if len(matches) else 0
-        if self.paged:
+        Tb = (-(-input_ids.shape[0] // self.prompt_bucket)) * self.prompt_bucket
+        if not self.paged:
+            # linear mode: KV writes past cache_len are masked drops — a
+            # request that can't fit must be rejected here, not produce
+            # silently degraded audio (mirrors LocalBatchServer.submit)
+            if Tb + min(max_new_tokens, self.out_capacity) + self.poll_every \
+                    > self.cache_len:
+                raise ValueError(
+                    f"prompt ({Tb} bucketed) + max_new_tokens "
+                    f"({min(max_new_tokens, self.out_capacity)}) exceeds "
+                    f"cache_len={self.cache_len}; raise cache_len or use "
+                    f"paged mode")
+        else:
             # reject requests the pool can NEVER satisfy even solo —
             # otherwise the sole active slot self-preempts forever
-            Tb = (-(-input_ids.shape[0] // self.prompt_bucket)) * self.prompt_bucket
             worst = min(
                 -(-(Tb + min(max_new_tokens, self.out_capacity)) // self.page_size),
                 self.cache_len // self.page_size)
@@ -432,6 +447,7 @@ class DelayBatchServer:
             max_new_tokens=min(max_new_tokens, self.out_capacity),
             start_length=input_ids.shape[0] - start_idx,
             sampling=dict(sampling) if sampling else None,
+            seed=seed,
         ))
         return rid
 
@@ -449,7 +465,11 @@ class DelayBatchServer:
         ids[0, Tb - T:] = req.input_ids
         mask = np.zeros((1, Tb), bool)
         mask[0, Tb - T:] = True
-        rng = jax.random.PRNGKey(hash(("req", req.request_id)) & 0x7FFFFFFF)
+        # explicit seeds reproduce across server lifetimes (the request id
+        # is monotonic per-process, so it must NOT enter a seeded stream)
+        rng = jax.random.PRNGKey(
+            hash(("req", req.seed if req.seed is not None else req.request_id))
+            & 0x7FFFFFFF)
         self._set_slot_sampling(slot, req.sampling or {})
         small = self._prefill_fn(Tb)(
             self.params, jnp.asarray(ids), jnp.asarray(mask), rng,

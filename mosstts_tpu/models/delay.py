@@ -33,8 +33,10 @@ from ..ops.basic import dense
 from ..ops.sampling import (
     align_rows,
     apply_repetition_penalty_seen,
+    is_key_batch,
     sample_topk_topp,
     seen_mask_update,
+    split_keys,
     find_last_equal,
 )
 
@@ -293,6 +295,13 @@ def delay_prefill(
     kv_valid = jnp.zeros((B, cache_len), jnp.bool_).at[:, :T].set(attention_mask)
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
 
+    # one key per row: row b's sampling stream is fully determined by
+    # rng[b], so a request keeps its seeded stream when spliced into a
+    # continuous-batching slot (callers may pass a scalar key to split, or
+    # pre-split (B,) keys for per-request seeds)
+    if not is_key_batch(rng):
+        rng = jax.random.split(rng, B)
+
     text_logits, audio_logits, cache = delay_forward(
         params, cfg, input_ids, positions=positions, kv_valid=kv_valid,
         cache=cache, cache_offset=0, logits_len=1,
@@ -455,7 +464,12 @@ def _delay_sample_and_update(
     B = text_logits.shape[0]
     n_vq = cfg.n_vq
     Va = audio_logits.shape[-1]
-    rng, k_text, k_audio = jax.random.split(state.rng, 3)
+    # per-row keys (the prefill normalizes to (B,) keys) make a row's
+    # sampled stream a function of its own key only — seeded requests
+    # reproduce under continuous batching no matter the slot/co-tenants;
+    # a legacy scalar key (tests constructing DelayGenState directly)
+    # still works batch-shared
+    rng, k_text, k_audio = split_keys(state.rng, 3)
 
     audio_logits = audio_logits / align_rows(s.audio_temperature, 3)
 

@@ -26,6 +26,35 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def is_key_batch(rng: jax.Array) -> bool:
+    """True when ``rng`` is a (B, ...) batch of per-row PRNG keys rather
+    than one key shared by the whole batch. Per-row keys make each row's
+    sampled stream a function of its own key alone — the property that
+    lets a seeded request reproduce under continuous batching regardless
+    of which slot it lands in or what its co-tenants do."""
+    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        return rng.ndim >= 1
+    return rng.ndim >= 2
+
+
+def split_keys(rng: jax.Array, n: int):
+    """Split a scalar key OR a (B,) key batch into ``n`` keys (each with
+    the same leading batch shape as the input)."""
+    if is_key_batch(rng):
+        ks = jax.vmap(lambda k: jax.random.split(k, n))(rng)
+        return tuple(ks[:, i] for i in range(n))
+    return tuple(jax.random.split(rng, n))
+
+
+def _categorical(rng: jax.Array, logits: jax.Array) -> jax.Array:
+    """categorical along the last axis; per-row keys vmap so row b's draw
+    depends only on (rng[b], logits[b])."""
+    if is_key_batch(rng):
+        return jax.vmap(
+            lambda k, l: jax.random.categorical(k, l, axis=-1))(rng, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
     """Keep (at least) the top-k logits along the last axis."""
     if k <= 0 or k >= logits.shape[-1]:
@@ -102,7 +131,7 @@ def sample_token(
         filtered = apply_top_k(filtered, top_k)
     if top_p is not None and top_p < 1.0:
         filtered = apply_top_p(filtered, top_p)
-    return jax.random.categorical(rng, filtered.astype(jnp.float32), axis=-1).astype(jnp.int32)
+    return _categorical(rng, filtered.astype(jnp.float32)).astype(jnp.int32)
 
 
 def _use_approx_topk(vocab: int, exact: bool) -> bool:
@@ -154,11 +183,11 @@ def sample_topk_topp(
         cum = jnp.cumsum(probs, axis=-1)
         keep = (cum - probs) < align_rows(top_p, cum.ndim)
         vals = jnp.where(keep, vals, NEG_INF)
-        choice = jax.random.categorical(rng, vals.astype(jnp.float32), axis=-1)
+        choice = _categorical(rng, vals.astype(jnp.float32))
         sampled = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
     else:
         filtered = apply_top_p(logits, top_p)
-        sampled = jax.random.categorical(rng, filtered.astype(jnp.float32), axis=-1).astype(jnp.int32)
+        sampled = _categorical(rng, filtered.astype(jnp.float32)).astype(jnp.int32)
     return jnp.where(align_rows(do_sample, sampled.ndim), sampled, greedy)
 
 

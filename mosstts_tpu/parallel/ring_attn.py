@@ -101,9 +101,13 @@ def ring_attention_shard(
         scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
         blk_max = jnp.max(scores, axis=-1)  # (B, KV, G, Tq)
         new_m = jnp.maximum(m, blk_max)
-        # NEG_INF is finite, so exp() of fully-masked rows is exactly 0 and
-        # the correction of an untouched accumulator is exp(0) = 1.
         p = jnp.exp(scores - new_m[..., None])
+        # Explicitly zero masked positions: for rows with at least one valid
+        # key exp(NEG_INF - new_m) is already ~0, but a row whose EVERY key
+        # in this (non-skipped) block is masked has new_m == NEG_INF and
+        # p == exp(0) == 1 — without this mask such padded rows would
+        # accumulate unmasked V and return ~mean(v) instead of 0.
+        p = jnp.where(mask[:, None, None, :, :], p, 0.0)
         corr = jnp.exp(m - new_m)
         acc = acc * corr[..., None] + jnp.einsum(
             "bkgqs,bskh->bkgqh", p, v_blk.astype(jnp.float32),

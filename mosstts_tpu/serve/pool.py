@@ -39,6 +39,7 @@ class DelayServingPool:
         self._lock = threading.Lock()
         self._results: Dict[int, object] = {}
         self._events: Dict[int, threading.Event] = {}
+        self._abandoned: set = set()  # timed-out rids; results dropped on arrival
         self._wake = threading.Event()
         self._stop = False
         self._error: Optional[BaseException] = None
@@ -73,15 +74,22 @@ class DelayServingPool:
                     done = self.server.step() if busy else []
             except BaseException as e:  # noqa: BLE001 - surfaced to callers
                 # a dead decode thread must FAIL every pending and future
-                # generate() loudly, not hang them on their events forever
-                self._error = e
-                for ev in list(self._events.values()):
-                    ev.set()
-                self._events.clear()
+                # generate() loudly, not hang them on their events forever.
+                # Under _lock so a generate() registering events either sees
+                # _error right after registering or gets its events set here.
+                with self._lock:
+                    self._error = e
+                    for ev in list(self._events.values()):
+                        ev.set()
+                    self._events.clear()
                 return
             for c in done:
-                self._results[c.request_id] = c
-                ev = self._events.pop(c.request_id, None)
+                with self._lock:
+                    if c.request_id in self._abandoned:
+                        self._abandoned.discard(c.request_id)
+                        continue  # waiter timed out; drop, don't leak
+                    self._results[c.request_id] = c
+                    ev = self._events.pop(c.request_id, None)
                 if ev is not None:
                     ev.set()
             if not busy:
@@ -103,7 +111,7 @@ class DelayServingPool:
         audio_top_p: float = 0.8,
         audio_repetition_penalty: float = 1.0,
         audio_rp_cross_batch: bool = False,
-        seed: int = 0,  # accepted for parity; the pool derives per-request rng
+        seed: int = 0,  # folded into each row's request rng (reproducible)
         on_device: bool = False,  # accepted for parity; pool decode is stepwise
         poll_every: int = 8,
         timeout: Optional[float] = None,
@@ -111,8 +119,13 @@ class DelayServingPool:
         """Engine-compatible batched generate THROUGH the shared pool: each
         row becomes one pool request (its left-pads stripped — the server
         re-pads to its prompt bucket), carrying this call's sampling as its
-        per-request config. Blocks until all rows complete."""
-        del seed, on_device, poll_every
+        per-request config. Blocks until all rows complete.
+
+        ``seed`` is folded into each row's rng as hash((seed, row)) so a
+        seeded pool call reproduces across calls/process restarts like the
+        solo engine (the server would otherwise derive rng from its
+        monotonically increasing request id)."""
+        del on_device, poll_every
         if not self.supports(text_top_k=text_top_k, audio_top_k=audio_top_k):
             raise ValueError(
                 f"pool compiled with top_k=({self.server.top_k_text}, "
@@ -133,15 +146,17 @@ class DelayServingPool:
             audio_temperature=audio_temperature, audio_top_p=audio_top_p,
             audio_repetition_penalty=audio_repetition_penalty,
         )
-        if self._error is not None:
-            raise RuntimeError("serving pool decode thread died") from self._error
         rids, events = [], []
         with self._lock:
+            if self._error is not None:
+                raise RuntimeError(
+                    "serving pool decode thread died") from self._error
             for b in range(B):
                 valid = np.nonzero(attention_mask[b])[0]
                 grid = input_ids[b, valid[0]:] if len(valid) else input_ids[b, -1:]
                 rid = self.server.submit(grid, max_new_tokens=max_new_tokens,
-                                         sampling=sampling)
+                                         sampling=sampling,
+                                         seed=hash((seed, b)) & 0x7FFFFFFF)
                 ev = threading.Event()
                 self._events[rid] = ev
                 rids.append(rid)
@@ -149,6 +164,15 @@ class DelayServingPool:
         self._wake.set()
         for ev in events:
             if not ev.wait(timeout):
+                # unregister the whole call so late results are dropped in
+                # _loop instead of leaking in _results/_events forever (the
+                # requests still run to completion server-side — slots free
+                # naturally at their max_new_tokens bound)
+                with self._lock:
+                    for rid in rids:
+                        if self._events.pop(rid, None) is not None or \
+                                self._results.pop(rid, None) is None:
+                            self._abandoned.add(rid)
                 raise TimeoutError("pool generate timed out")
         if self._error is not None:
             raise RuntimeError("serving pool decode thread died") from self._error

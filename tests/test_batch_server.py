@@ -216,3 +216,15 @@ def test_warmup_then_serve_unchanged():
             np.testing.assert_array_equal(
                 dc[a].tokens, dw[b].tokens,
                 err_msg=f"warmup changed outputs (paged={paged})")
+
+
+def test_linear_submit_rejects_overflow(setup):
+    """Linear mode must reject prompts + budgets that exceed cache_len
+    instead of silently dropping KV writes past the end (ADVICE r3)."""
+    _, proc, server = setup
+    grid = _continuation_grid(proc, "overflow check", seed=99)
+    with pytest.raises(ValueError):
+        # cache_len=256: a 32-bucketed prompt + 64 (out_capacity cap) fits,
+        # so grow the prompt past the boundary instead
+        big = np.tile(grid, (256 // grid.shape[0] + 1, 1))
+        server.submit(big, max_new_tokens=64)

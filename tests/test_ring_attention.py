@@ -117,3 +117,22 @@ def test_zigzag_order_balances_causal_work():
     assert len(set(zig.tolist())) == 1, zig  # perfectly balanced
     assert (np.diff(contig) > 0).all()  # the imbalance it removes
     assert contig.max() / contig.mean() > 1.8  # last device ~2x the mean
+
+
+def test_ring_fully_masked_rows_return_zero():
+    """A query row with ZERO valid keys (e.g. a padded row whose position
+    precedes every valid key) must return exactly 0, not ~mean(v)
+    accumulated through p=exp(0)=1 on never-updated max rows (ADVICE r3)."""
+    mesh = make_mesh(data=1, model=8)
+    q, k, v, pos, valid = _case(B=2, T=64, seed=3)
+    # row 0: no valid keys at all; row 1 untouched
+    valid = valid.at[0].set(False)
+    scale = q.shape[-1] ** -0.5
+    out = ring_gqa_attention(mesh, q, k, v, q_positions=pos,
+                             kv_positions=pos, kv_valid=valid, scale=scale)
+    np.testing.assert_array_equal(np.asarray(out[0]),
+                                  np.zeros_like(np.asarray(out[0])))
+    ref = gqa_attention(q, k, v, q_positions=pos, kv_positions=pos,
+                        kv_valid=valid, scale=scale)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               atol=2e-5, rtol=2e-5)

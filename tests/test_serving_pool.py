@@ -139,3 +139,57 @@ def test_pool_backend_pipeline_integration():
         assert pool.server.total_steps > 0  # it really went through the pool
     finally:
         pool.close()
+
+
+def test_pool_timeout_cleans_up_and_recovers():
+    """A timed-out generate must unregister its events and drop late
+    results (no leak), and the pool must keep serving afterwards."""
+    params = init_delay_params(jax.random.PRNGKey(4), CFG, dtype=jnp.float32)
+    pool = DelayServingPool(
+        params, CFG, slots=2, cache_len=256, out_capacity=32,
+        prompt_bucket=16, dtype=jnp.float32,
+        sampling=make_sampling(text_temperature=0.0, audio_temperature=0.0))
+    try:
+        import pytest
+        rng = np.random.default_rng(5)
+        ids = _grid(rng, 8)[None]
+        with pytest.raises(TimeoutError):
+            pool.generate(ids, max_new_tokens=24, text_temperature=0.0,
+                          audio_temperature=0.0, timeout=1e-6)
+        # a fresh call still completes (slots free at max_new_tokens bound)
+        out = pool.generate(ids, max_new_tokens=8, text_temperature=0.0,
+                            audio_temperature=0.0, timeout=600)
+        assert len(out) == 1
+        # late results of the abandoned request were dropped, not leaked
+        import time
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and (
+                pool.server._active or pool.server._queue):
+            time.sleep(0.05)
+        with pool._lock:
+            assert not pool._events and not pool._results
+            assert not pool._abandoned  # consumed when the result arrived
+    finally:
+        pool.close()
+
+
+def test_pool_seed_reproducible_across_calls():
+    """Explicit seeds must survive the pool: the server's monotonically
+    increasing request id must not perturb a seeded sampling stream."""
+    params = init_delay_params(jax.random.PRNGKey(6), CFG, dtype=jnp.float32)
+    pool = DelayServingPool(
+        params, CFG, slots=2, cache_len=256, out_capacity=32,
+        prompt_bucket=16, dtype=jnp.float32)
+    try:
+        rng = np.random.default_rng(7)
+        ids = _grid(rng, 8)[None]
+        kw = dict(max_new_tokens=12, text_temperature=1.0,
+                  audio_temperature=1.0, timeout=600)
+        a = pool.generate(ids, seed=123, **kw)
+        b = pool.generate(ids, seed=123, **kw)  # later rids, same seed
+        c = pool.generate(ids, seed=124, **kw)
+        np.testing.assert_array_equal(a[0][1], b[0][1])
+        assert a[0][1].shape != c[0][1].shape or \
+            not np.array_equal(a[0][1], c[0][1])
+    finally:
+        pool.close()
