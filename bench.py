@@ -16,6 +16,9 @@ does.
 import argparse
 import gc
 import json
+import os
+import signal
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -127,6 +130,29 @@ def run_size(size: str, args) -> dict:
 
     frames_per_sec = args.batch * args.steps / elapsed
     rtf = frames_per_sec / 12.5
+    step_ms = 1000 * elapsed / args.steps
+
+    # --- roofline accounting (v5e: ~197 bf16 TFLOP/s, ~819 GB/s HBM) ------
+    # decode is memory-bound at these batch sizes: every step streams the
+    # full weight set plus the attended KV; the compute floor is the dense
+    # FLOPs at MXU peak. pct_roofline = floor / measured (1.0 = speed of
+    # light); mfu = achieved FLOP rate vs peak.
+    PEAK_FLOPS, HBM_BW = 197e12, 819e9
+    param_bytes = sum(
+        x.nbytes for x in jax.tree_util.tree_leaves(engine.params))
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(engine.params)
+        if x.dtype != jnp.float32 or x.ndim > 1)  # scales excluded
+    lc = engine.config.language_config
+    kv_elem_bytes = 1 if kv_int8 else 2
+    attend_mid = args.prompt + args.warmup + args.steps // 2
+    kv_bytes = (2 * lc.num_hidden_layers * lc.num_key_value_heads
+                * lc.head_dim * attend_mid * args.batch * kv_elem_bytes)
+    mem_floor_ms = (param_bytes + kv_bytes) / HBM_BW * 1e3
+    step_flops = 2.0 * n_params * args.batch
+    compute_floor_ms = step_flops / PEAK_FLOPS * 1e3
+    floor_ms = max(mem_floor_ms, compute_floor_ms)
+
     del engine, state
     gc.collect()
     return {
@@ -134,12 +160,18 @@ def run_size(size: str, args) -> dict:
         "batch": args.batch,
         "prompt_len": args.prompt,
         "steps": args.steps,
-        "step_ms": round(1000 * elapsed / args.steps, 2),
+        "step_ms": round(step_ms, 2),
         "prefill_compile_s": round(prefill_compile_s, 2),
         "prefill_ms": round(1000 * prefill_run_s, 1),
         "frames_per_sec": round(frames_per_sec, 1),
         "int8": use_int8,
         "kv_int8": bool(kv_int8),
+        "mfu": round(step_flops / (step_ms / 1e3) / PEAK_FLOPS, 4),
+        "pct_roofline": round(100 * floor_ms / step_ms, 1),
+        "roofline_floor_ms": round(floor_ms, 2),
+        "mem_floor_ms": round(mem_floor_ms, 2),
+        "compute_floor_ms": round(compute_floor_ms, 2),
+        "param_gb": round(param_bytes / 1e9, 2),
     }
 
 
@@ -776,6 +808,157 @@ def run_ttfa(args) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Tunnel-resilient orchestration. Round 3's artifact was lost because the
+# axon backend failed to initialize at the driver's capture time and bench
+# died with rc=1 before printing any JSON. The default run now (a) probes
+# the backend in a SIGKILL-able subprocess with the CLAUDE.md wedge-recovery
+# idle waits automated, (b) runs every section as its own subprocess under a
+# hard timeout (a hang costs that section, not the artifact), and (c) always
+# prints one parseable JSON line, carrying errors inline when sections fail.
+# ---------------------------------------------------------------------------
+
+_PROBE_CODE = (
+    "import jax, jax.numpy as jnp; "
+    "x = jax.device_get((jnp.zeros((256, 256), jnp.bfloat16) + 1).sum()); "
+    "print('probe-ok', float(x), jax.default_backend(), flush=True)"
+)
+
+
+def _kill_group(p):
+    """SIGKILL a child's whole process group: a process stuck inside the
+    TPU client library ignores SIGTERM (measured during the r3 wedge)."""
+    try:
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+    try:
+        p.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        pass
+
+
+def ensure_backend_healthy(idle_waits=(0, 240, 420), probe_timeout=240):
+    """One tiny device op in a subprocess; on failure, leave the tunnel
+    COMPLETELY idle for minutes (no probes queuing behind a stale claim)
+    before retrying. Returns (healthy, attempts-report).
+
+    MOSSTTS_BENCH_IDLE_WAITS ("0,240,420") / MOSSTTS_BENCH_PROBE_TIMEOUT
+    override the schedule (ops tuning + fast tests)."""
+    env_waits = os.environ.get("MOSSTTS_BENCH_IDLE_WAITS")
+    if env_waits:
+        idle_waits = tuple(int(x) for x in env_waits.split(","))
+    probe_timeout = int(os.environ.get("MOSSTTS_BENCH_PROBE_TIMEOUT",
+                                       probe_timeout))
+    attempts = []
+    for i, idle in enumerate(idle_waits):
+        if idle:
+            log(f"backend probe failed; idling tunnel {idle}s before retry "
+                f"{i + 1}/{len(idle_waits)}")
+            time.sleep(idle)
+        t0 = time.perf_counter()
+        p = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_CODE],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            start_new_session=True, text=True)
+        try:
+            out, _ = p.communicate(timeout=probe_timeout)
+            ok = p.returncode == 0 and "probe-ok" in out
+        except subprocess.TimeoutExpired:
+            _kill_group(p)
+            out, ok = f"probe hung >{probe_timeout}s (SIGKILLed)", False
+        attempts.append({
+            "idle_wait_s": idle, "ok": ok,
+            "elapsed_s": round(time.perf_counter() - t0, 1),
+            "tail": out.strip()[-400:],
+        })
+        log(f"backend probe: {'OK' if ok else 'FAILED'} "
+            f"({attempts[-1]['elapsed_s']}s)")
+        if ok:
+            return True, attempts
+    return False, attempts
+
+
+def _run_section(argv, timeout_s):
+    """Run ``bench.py <argv>`` as a subprocess; return (json-dict, error).
+    stderr passes through live; stdout's last JSON line is the result."""
+    cmd = [sys.executable, str(Path(__file__).resolve()), *argv]
+    p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=None,
+                         start_new_session=True, text=True)
+    try:
+        out, _ = p.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _kill_group(p)
+        return None, f"timed out after {timeout_s}s (SIGKILLed)"
+    if p.returncode != 0:
+        return None, f"exit code {p.returncode}"
+    for line in reversed((out or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    return None, "no JSON line in section output"
+
+
+def run_sweep(args):
+    """Default full sweep: delay throughput (1.7B + 8B flagship), local
+    family, realtime continuous batching, delay continuous batching — each
+    isolated in a subprocess so one failure/hang cannot lose the rest."""
+    detail = {}
+    if args.no_probe:
+        healthy = True
+    else:
+        healthy, detail["probe"] = ensure_backend_healthy()
+    if not healthy:
+        print(json.dumps({
+            "metric": "delay_decode_realtime_multiple_per_chip",
+            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable after idle-backoff retries",
+            "detail": detail,
+        }))
+        return
+    passthru = []
+    if args.steps != 64:
+        passthru += ["--steps", str(args.steps)]
+    sections = [
+        ("throughput", ["--size", "all", "--direct"], 2700),
+        ("local_family", ["--family", "local", "--direct"], 1500),
+        ("realtime_server", ["--rt-server", "--direct"], 2100),
+        ("batch_server", ["--batch-server", "--paged", "--direct"], 2700),
+    ]
+    for name, argv, tmo in sections:
+        log(f"sweep: running section '{name}' (timeout {tmo}s)")
+        t0 = time.perf_counter()
+        res, err = _run_section(argv + passthru, tmo)
+        if err:
+            log(f"sweep: section '{name}' FAILED: {err}")
+            detail[name] = {"error": err}
+            # the failed section may have wedged the tunnel — recover
+            # before spending the next section's budget on a stale claim
+            healthy, detail[name]["reprobe"] = ensure_backend_healthy()
+            if not healthy:
+                detail[name]["reprobe_verdict"] = "tunnel still down; " \
+                    "remaining sections skipped"
+                break
+        else:
+            detail[name] = res
+            log(f"sweep: section '{name}' done in "
+                f"{time.perf_counter() - t0:.0f}s")
+    head = detail.get("throughput") or {}
+    result = {
+        "metric": "delay_decode_realtime_multiple_per_chip",
+        "value": head.get("value", 0.0),
+        "unit": "x_realtime",
+        "vs_baseline": head.get("vs_baseline", 0.0),
+        "detail": detail,
+    }
+    if "value" not in head:
+        result["error"] = head.get("error", "throughput section failed")
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", choices=["tiny", "1p7b", "8b", "all"], default="all",
@@ -822,8 +1005,22 @@ def main():
                          "(60%% page pool, Pallas paged decode attention) "
                          "over the same load and report throughput + the "
                          "KV HBM saving")
+    ap.add_argument("--direct", action="store_true",
+                    help="run the selected mode in-process (no sweep "
+                         "orchestration); set automatically for sweep "
+                         "section subprocesses")
+    ap.add_argument("--no-probe", action="store_true", dest="no_probe",
+                    help="skip the subprocess backend-health probe")
     args = ap.parse_args()
     size = "tiny" if args.tiny else args.size
+
+    mode_flag = (args.ttfa or args.codec_bench or args.batch_server
+                 or args.rt_server or args.local_server
+                 or args.family != "delay")
+    if not mode_flag and not args.direct and size == "all":
+        # the driver's default `python bench.py`: tunnel-resilient sweep
+        run_sweep(args)
+        return
 
     if args.ttfa:
         print(json.dumps(run_ttfa(args)))
@@ -888,4 +1085,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # the artifact must stay parseable no matter what died: print the
+        # failure as the JSON line (exit 0 so the driver records it)
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "delay_decode_realtime_multiple_per_chip",
+            "value": 0.0, "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }))
