@@ -26,6 +26,7 @@ import contextlib
 import dataclasses
 import json
 import math
+import threading
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
@@ -163,9 +164,21 @@ class MossAudioTokenizer:
     def __init__(self, params, config: Optional[CodecConfig] = None):
         self.config = config or CodecConfig()
         self.params = params
-        self._stream: Optional[CodecStreamSession] = None
+        # the active streaming session is THREAD-LOCAL: one codec object is
+        # shared across a ThreadingHTTPServer's request threads, and two
+        # concurrent `with codec.streaming()` blocks must not clobber each
+        # other's causal decode state
+        self._stream_tls = threading.local()
         self._enc_jit: Dict[Any, Any] = {}
         self._dec_jit: Dict[Any, Any] = {}
+
+    @property
+    def _stream(self) -> Optional["CodecStreamSession"]:
+        return getattr(self._stream_tls, "value", None)
+
+    @_stream.setter
+    def _stream(self, sess: Optional["CodecStreamSession"]):
+        self._stream_tls.value = sess
 
     # ------------------------------ plumbing -------------------------------
     @property

@@ -317,6 +317,31 @@ class RealtimeBatchServer:
             )
         return self._collect() if poll else []
 
+    def _trim(self, hist: np.ndarray, slot: int, max_new: int) -> np.ndarray:
+        """Frames written so far for ``slot``, clamped to its budget and
+        trimmed at the first audio-EOS frame (reference
+        streaming_mossttsrealtime.py:854-878 sanitization contract)."""
+        n = int(min(self._step_host[slot], max_new, self.max_frames))
+        frames = hist[slot, :n]
+        eos = np.nonzero(frames[:, 0] == self.config.audio_eos_token)[0]
+        if len(eos):
+            frames = frames[: int(eos[0])]
+        return frames
+
+    def partial_frames(self) -> Dict[int, np.ndarray]:
+        """Incremental fetch for STREAMING consumers: request_id ->
+        EOS-trimmed frames generated so far, for every in-flight
+        conversation, via ONE fixed-shape history transfer. Lets a serving
+        pool ship wav chunks while the conversation is still decoding
+        instead of waiting for CompletedStream."""
+        if not self._active:
+            return {}
+        hist = np.asarray(jax.device_get(self.state.history))
+        return {
+            req.request_id: self._trim(hist, slot, req.max_new_tokens).copy()
+            for slot, req in sorted(self._active.items())
+        }
+
     def _collect(self) -> List[CompletedStream]:
         stopped = np.asarray(jax.device_get(self.state.is_stopping))
         finished = [
@@ -334,12 +359,7 @@ class RealtimeBatchServer:
             # clamp to the request's budget: block-mode decoding can run a
             # few frames past it before this poll (same contract as the
             # delay/local servers)
-            n = int(min(self._step_host[slot], req.max_new_tokens,
-                        self.max_frames))
-            frames = hist[slot, :n]
-            eos = np.nonzero(frames[:, 0] == self.config.audio_eos_token)[0]
-            if len(eos):
-                frames = frames[: int(eos[0])]
+            frames = self._trim(hist, slot, req.max_new_tokens)
             done.append(CompletedStream(
                 request_id=req.request_id, frames=frames.copy(),
                 steps=int(self._step_host[slot])))

@@ -33,7 +33,7 @@ from ..engine.metrics import SynthesisMetrics
 from ..utils.native import float_to_pcm16
 
 _STATE = {"last_metrics": None, "lock": threading.Lock(), "args": None,
-          "token_cache": None, "pool": None}
+          "token_cache": None, "pool": None, "rt_pool": None}
 
 
 def _token_cache():
@@ -200,6 +200,22 @@ class Handler(BaseHTTPRequestHandler):
         )
         self._send(200, _wav_bytes(wav, sr), "audio/wav", {"X-Status": status})
 
+    def _rt_pool(self, engine):
+        """Lazily build the shared realtime continuous-batching pool
+        (--rt-pool-slots): concurrent /stream sessions share batch slots
+        instead of each running a solo engine (VERDICT r3 #6)."""
+        a = _STATE["args"]
+        if not getattr(a, "rt_pool_slots", 0):
+            return None
+        with _STATE["lock"]:
+            if _STATE.get("rt_pool") is None:
+                from .pool import RealtimeServingPool
+
+                _STATE["rt_pool"] = RealtimeServingPool(
+                    engine.params, engine.config, slots=a.rt_pool_slots,
+                    dtype=engine.dtype, cache_len=4096, max_frames=2048)
+            return _STATE["rt_pool"]
+
     def _stream(self, body):
         """Chunked PCM16 streaming over the realtime path.
 
@@ -221,6 +237,9 @@ class Handler(BaseHTTPRequestHandler):
 
         a = _STATE["args"]
         engine, proc, codec = load_realtime_backend(a.model_path, a.codec_path)
+        pool = self._rt_pool(engine)
+        if pool is not None and pool.supports(top_k=int(body.get("top_k", 30))):
+            return self._stream_pooled(body, pool, proc, codec)
         session = RealtimeStreamingSession(
             engine, proc, codec=codec,
             temperature=float(body.get("temperature", 0.8)),
@@ -269,6 +288,100 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(b"0\r\n\r\n")
         self._record(m)
 
+    def _stream_pooled(self, body, pool, proc, codec):
+        """/stream through the shared RealtimeServingPool: the turn grid is
+        built host-side (same construction as the solo session's
+        reset_turn), the conversation is admitted into the continuous-
+        batching server, and frames arrive incrementally via
+        partial_frames() — concurrent streams share batch slots instead of
+        time-slicing the chip. The shared engine object is never mutated
+        (no per-request session state)."""
+        from ..engine.streaming import AudioStreamDecoder
+
+        # voice prompt: RVQ tokens directly, or a wav path through the
+        # process-wide encode LRU (same as the solo path)
+        voice_tokens = None
+        vp = body.get("voice_prompt")
+        if vp is not None:
+            vp_arr = np.asarray(vp) if not isinstance(vp, str) else None
+            if vp_arr is not None and vp_arr.ndim == 2:
+                voice_tokens = vp_arr
+            else:
+                from ..utils import audio_io
+
+                def encode(path):
+                    wav, sr = audio_io.read_wav(path)
+                    wav = audio_io.to_mono(wav).astype(np.float32)
+                    if sr != codec.sampling_rate:
+                        wav = audio_io.resample(wav, sr, codec.sampling_rate)
+                    enc = codec.batch_encode([wav])
+                    codes = np.asarray(enc.audio_codes)
+                    return codes[:, 0, : int(enc.audio_codes_lengths[0])]
+
+                voice_tokens = _token_cache().get_or_encode(vp, encode)
+
+        rng = np.random.default_rng(int(body.get("seed", 0)))
+        user_audio = rng.integers(
+            0, 1024, (int(body.get("user_audio_frames", 4)), proc.channels))
+        user_prompt = proc.make_user_prompt(body.get("user_text", ""),
+                                            user_audio)
+        system_prompt = proc.make_ensemble(voice_tokens)
+        grid = np.concatenate([system_prompt, user_prompt], axis=0)
+        text_ids = proc.tokenizer.encode(body["text"],
+                                         add_special_tokens=False)
+        sampling = {
+            "temperature": float(body.get("temperature", 0.8)),
+            "top_p": float(body.get("top_p", 0.6)),
+            "repetition_penalty": float(body.get("repetition_penalty", 1.1)),
+        }
+        handle = pool.open_stream(
+            grid, text_ids,
+            max_new_tokens=int(body.get("max_frames", 1024)),
+            sampling=sampling)
+
+        decoder = AudioStreamDecoder(
+            codec, chunk_frames=int(body.get("chunk_frames", 12)),
+            overlap_frames=int(body.get("overlap_frames", 2)))
+        m = SynthesisMetrics(sample_rate=codec.sampling_rate)
+
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Sample-Rate", str(codec.sampling_rate))
+        self.send_header("X-Pooled", "1")
+        self.end_headers()
+
+        def emit(chunk: np.ndarray):
+            pcm = float_to_pcm16(np.nan_to_num(chunk)).tobytes()
+            m.add_audio(chunk.size)
+            ttfa = m.ttfa if m.ttfa is not None else 0.0
+            rtf = m.rtf if m.rtf is not None else 0.0
+            ext = f";ttfa={ttfa * 1000:.0f}ms;rtf={rtf:.2f}"
+            self.wfile.write(f"{len(pcm):X}{ext}\r\n".encode())
+            self.wfile.write(pcm)
+            self.wfile.write(b"\r\n")
+
+        with codec.streaming(batch_size=1):
+            for block in handle.frames():
+                # EOS rows never reach here (the server trims at EOS);
+                # drop out-of-range rows individually (reference
+                # _sanitize_audio_tokens :854-878 — its bridge's
+                # stop-within-a-fetch-group behavior is an accident of
+                # group size, and with trained weights invalid rows only
+                # occur at EOS, so per-row dropping is equivalent)
+                valid = ((block >= 0)
+                         & (block < codec.codebook_size)).all(axis=1)
+                clean = block[valid]
+                if len(clean):
+                    decoder.push_tokens(clean)
+                    for wav in decoder.audio_chunks():
+                        emit(wav)
+            tail = decoder.flush()
+            if tail is not None:
+                emit(tail)
+        self.wfile.write(b"0\r\n\r\n")
+        self._record(m)
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
@@ -280,6 +393,10 @@ def main(argv=None):
                     help="share one continuous-batching pool of this many "
                          "slots across concurrent /tts-family requests "
                          "(0 = solo engine per request)")
+    ap.add_argument("--rt-pool-slots", type=int, default=0,
+                    help="share one realtime continuous-batching pool of "
+                         "this many slots across concurrent /stream "
+                         "sessions (0 = solo streaming session per request)")
     args = ap.parse_args(argv)
     _STATE["args"] = args
     server = ThreadingHTTPServer((args.host, args.port), Handler)

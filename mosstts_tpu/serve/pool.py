@@ -15,6 +15,7 @@ pool (http_server --pool-slots).
 """
 from __future__ import annotations
 
+import queue
 import threading
 from typing import Dict, List, Optional, Tuple
 
@@ -181,3 +182,128 @@ class DelayServingPool:
             c = self._results.pop(rid)
             out.append((c.start_length, c.tokens))
         return out
+
+
+class RealtimeStreamHandle:
+    """Consumer side of one pooled streaming conversation: iterate
+    :meth:`frames` to receive np.ndarray frame blocks as they decode;
+    iteration ends when the conversation completes. :meth:`result` blocks
+    and returns all frames concatenated (solo-engine-shaped)."""
+
+    def __init__(self, request_id: int):
+        self.request_id = request_id
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue()
+        self._emitted = 0  # frames already shipped (pool-thread side)
+        self._error: Optional[BaseException] = None
+
+    def frames(self, timeout: Optional[float] = None):
+        while True:
+            block = self._q.get(timeout=timeout)
+            if block is None:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "realtime pool decode thread died") from self._error
+                return
+            yield block
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        blocks = list(self.frames(timeout=timeout))
+        if not blocks:
+            return np.zeros((0, 0), np.int64)
+        return np.concatenate(blocks, axis=0)
+
+
+class RealtimeServingPool:
+    """Concurrent HTTP /stream sessions share ONE RealtimeBatchServer: each
+    stream becomes a pool conversation (mid-flight admission, per-request
+    sampling), and frames ship incrementally through
+    RealtimeBatchServer.partial_frames() — wav chunks start flowing while
+    the conversation is still decoding, at continuous-batching throughput
+    instead of a solo engine per HTTP thread.
+    """
+
+    def __init__(self, params, config, *, slots: int = 4,
+                 fetch_every: int = 4, idle_wait: float = 0.02, **server_kw):
+        from ..engine.realtime_batch_server import RealtimeBatchServer
+
+        self.server = RealtimeBatchServer(params, config, slots=slots,
+                                          **server_kw)
+        self.fetch_every = max(1, fetch_every)
+        self._lock = threading.Lock()
+        self._handles: Dict[int, RealtimeStreamHandle] = {}
+        self._wake = threading.Event()
+        self._stop = False
+        self._error: Optional[BaseException] = None
+        self._idle_wait = idle_wait
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mosstts-rt-pool")
+        self._thread.start()
+
+    def supports(self, *, top_k: int) -> bool:
+        """top-k is a SERVER-STATIC compile knob; a stream needing a
+        different width must use the solo session (http_server falls back
+        automatically)."""
+        return top_k == self.server.top_k
+
+    def warmup(self, **kw):
+        with self._lock:
+            self.server.warmup(**kw)
+
+    def close(self):
+        self._stop = True
+        self._wake.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def open_stream(self, grid: np.ndarray, text_ids, *,
+                    max_new_tokens: int = 128, prefill_text_len: int = 12,
+                    sampling: Optional[dict] = None) -> RealtimeStreamHandle:
+        """Submit one conversation turn; returns a handle whose
+        :meth:`RealtimeStreamHandle.frames` yields frame blocks live."""
+        with self._lock:
+            if self._error is not None:
+                raise RuntimeError(
+                    "realtime pool decode thread died") from self._error
+            rid = self.server.submit(
+                grid, list(text_ids), max_new_tokens=max_new_tokens,
+                prefill_text_len=prefill_text_len, sampling=sampling)
+            handle = RealtimeStreamHandle(rid)
+            self._handles[rid] = handle
+        self._wake.set()
+        return handle
+
+    # ------------------------------------------------------------------
+    def _ship(self, handle: RealtimeStreamHandle, frames: np.ndarray):
+        if len(frames) > handle._emitted:
+            handle._q.put(frames[handle._emitted:].copy())
+            handle._emitted = len(frames)
+
+    def _loop(self):
+        while not self._stop:
+            try:
+                with self._lock:
+                    busy = bool(self.server._active or self.server._queue)
+                    done = self.server.step() if busy else []
+                    fetch = busy and (
+                        self.server.total_steps % self.fetch_every == 0)
+                    partial = self.server.partial_frames() if fetch else {}
+            except BaseException as e:  # noqa: BLE001 - surfaced to callers
+                with self._lock:
+                    self._error = e
+                    for h in self._handles.values():
+                        h._error = e
+                        h._q.put(None)
+                    self._handles.clear()
+                return
+            for rid, frames in partial.items():
+                h = self._handles.get(rid)
+                if h is not None:
+                    self._ship(h, frames)
+            for c in done:
+                h = self._handles.pop(c.request_id, None)
+                if h is not None:
+                    self._ship(h, c.frames)
+                    h._q.put(None)
+            if not busy:
+                self._wake.wait(self._idle_wait)
+                self._wake.clear()

@@ -114,3 +114,70 @@ def test_player_page(server):
         assert "AudioContext" in html
         assert "/stream" in html and "/metrics" in html
         assert "fadeEdges" in html  # edge-fade parity with the reference
+
+
+def test_stream_pooled_concurrent():
+    """--rt-pool-slots routes /stream through RealtimeServingPool: two
+    CONCURRENT greedy streams must both complete through the shared
+    continuous-batching server with identical PCM (same request ->
+    deterministic output regardless of slot/admission order), and the
+    solo path must still work with the pool disabled.
+
+    Token-level pooled==solo-engine equality is pinned in
+    tests/test_serving_pool.py::test_realtime_pool_concurrent_streams_
+    match_solo; byte-equality of the full PCM against the solo SESSION is
+    deliberately not asserted — the session bridge's drop-rest-of-fetch-
+    group behavior on invalid frames (a quirk inherited from the
+    reference, streaming_mossttsrealtime.py:978-990) only manifests with
+    random demo weights."""
+    from http.server import ThreadingHTTPServer
+
+    from mosstts_tpu.serve import http_server as hs
+
+    class Args:
+        model_path = None
+        codec_path = None
+        rt_pool_slots = 2
+
+    body = {"text": "Pooled streaming parity sentence for the test.",
+            "temperature": 0, "chunk_frames": 4, "seed": 3}
+
+    old_args, old_pool = hs._STATE["args"], hs._STATE.get("rt_pool")
+    hs._STATE["args"], hs._STATE["rt_pool"] = Args(), None
+    try:
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), hs.Handler)
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+        results, errors = {}, []
+
+        def fetch(i):
+            try:
+                with _post(url + "/stream", dict(body)) as r:
+                    assert r.headers.get("X-Pooled") == "1"
+                    results[i] = r.read()
+            except Exception as e:  # noqa: BLE001
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=fetch, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert results[0] == results[1]  # same greedy request, same PCM
+        pcm = np.frombuffer(results[0], "<i2")
+        assert pcm.size > 0 and np.isfinite(pcm.astype(np.float32)).all()
+
+        # solo (no pool) path still works when the pool is disabled
+        Args.rt_pool_slots = 0
+        with _post(url + "/stream", dict(body)) as r:
+            assert r.headers.get("X-Pooled") is None
+            solo = r.read()
+        assert len(solo) > 0
+        srv.shutdown()
+    finally:
+        pool = hs._STATE.get("rt_pool")
+        if pool is not None:
+            pool.close()
+        hs._STATE["args"], hs._STATE["rt_pool"] = old_args, old_pool
