@@ -277,8 +277,8 @@ def realtime_prefill_step(
 
     ``state.cur_len``/``state.hist_len`` may be (B,) per-row cursors
     (continuous-batching server: slots sit at different conversation
-    lengths); that path supports T == 1 only — admission prefills run at
-    batch 1 through the scalar path and are spliced in."""
+    lengths); that path supports T == 1 only — admission prefills run as a
+    batch-k group through the scalar path and are scatter-spliced in."""
     B, T, _ = input_ids.shape
     lc = cfg.language_config
     per_row = jnp.ndim(state.cur_len) == 1

@@ -201,3 +201,46 @@ def test_realtime_server_submit_validation():
     with pytest.raises(ValueError):  # prompt + budget exceeds the cache
         server.submit(np.zeros((100, RVQ + 1), np.int64),
                       [1] * 12, max_new_tokens=64)
+
+
+def test_realtime_server_batched_admission_mixed_buckets():
+    """Simultaneous admissions go through ONE fused prefill+splice program
+    per prompt bucket: requests straddling two buckets (grouped admission),
+    and a group whose size is not a power of two (k=3 -> kb=4, the last
+    admission replicated into the padding row), must all still match the
+    solo engine exactly."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    reqs = _requests(rng, 3)
+
+    # mixed buckets in one admission pass: short text prefix -> Tb=16,
+    # default prefix -> Tb=32 (grid rows are 8-10 here)
+    server = _make_server(params, slots=3)
+    r0 = server.submit(*reqs[0], max_new_tokens=8, prefill_text_len=2)
+    r1 = server.submit(*reqs[1], max_new_tokens=10)
+    r2 = server.submit(*reqs[2], max_new_tokens=9)
+    done = {c.request_id: c for c in server.run(max_steps=400)}
+    # k=3 same-bucket group -> kb=4 padded admission
+    r3 = server.submit(*reqs[0], max_new_tokens=8)
+    r4 = server.submit(*reqs[1], max_new_tokens=10)
+    r5 = server.submit(*reqs[2], max_new_tokens=9)
+    done.update({c.request_id: c for c in server.run(max_steps=400)})
+    assert set(done) == {r0, r1, r2, r3, r4, r5}
+
+    cases = [(r0, 0, 8, 2), (r1, 1, 10, 12), (r2, 2, 9, 12),
+             (r3, 0, 8, 12), (r4, 1, 10, 12), (r5, 2, 9, 12)]
+    for rid, i, mn, ptl in cases:
+        grid, text = reqs[i]
+        from mosstts_tpu.engine.realtime_engine import RealtimeEngine
+
+        eng = RealtimeEngine(params, CFG, dtype=jnp.float32, cache_len=640,
+                             max_length=64, prefill_bucket=16)
+        ref = eng.generate([grid], [text], max_length=mn - 1,
+                           prefill_text_len=ptl, **SAMPLING)[0]
+        got = done[rid].frames
+        n = min(len(ref), len(got), mn)
+        assert n >= mn - 1, (rid, len(ref), len(got), mn)
+        np.testing.assert_array_equal(got[:n], np.asarray(ref)[:n],
+                                      err_msg=f"request {rid}")
