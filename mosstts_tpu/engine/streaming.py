@@ -356,9 +356,34 @@ class RealtimeStreamingSession:
         return outputs
 
 
+def _linear_blend(prev_tail: np.ndarray, wav: np.ndarray, n: int) -> np.ndarray:
+    """Join two windows with an ``n``-sample linear equal-gain ramp:
+    ``[prev_tail minus its last n | ramp(prev_tail_end, wav_start) |
+    rest of wav]``. The C kernel and the numpy path are bit-compatible
+    (tests/test_native_audio.py)."""
+    from ..utils.native import crossfade_native
+
+    merged = crossfade_native(prev_tail, wav, n)
+    if merged is not None:
+        return merged
+    ramp = np.linspace(1.0, 0.0, n, dtype=np.float32)
+    seam = prev_tail[-n:] * ramp + wav[:n] * (1.0 - ramp)
+    return np.concatenate([prev_tail[:-n], seam, wav[n:]])
+
+
 class AudioStreamDecoder:
-    """Buffer token frames; decode in ``chunk_frames`` windows with an
-    optional linear crossfade (reference :679-804)."""
+    """Token frames -> seamless wav chunks: accumulate frames, decode every
+    full ``chunk_frames`` window through the (causal-streaming) codec, and
+    stitch consecutive windows with a linear crossfade whose width is
+    ``overlap_frames`` worth of samples, scaled down proportionally for a
+    short final window.
+
+    Output contract (pinned sample-for-sample by
+    tests/test_realtime.py::test_stream_decoder_crossfade_golden, parity
+    target reference streaming_mossttsrealtime.py:679-804): chunk i>0 opens
+    with its head blended against the retained tail of chunk i-1; when the
+    final window's proportional overlap is narrower than the retained tail,
+    the unblended part of that tail is re-emitted ahead of the seam."""
 
     def __init__(self, codec, chunk_frames: int = 40, overlap_frames: int = 4,
                  decode_kwargs: Optional[dict] = None):
@@ -366,42 +391,36 @@ class AudioStreamDecoder:
         self.chunk_frames = chunk_frames
         self.overlap_frames = overlap_frames
         self.decode_kwargs = decode_kwargs or {}
-        self._buffer: List[np.ndarray] = []
-        self._buffer_len = 0
-        self._prev_tail: Optional[np.ndarray] = None
+        self._pending: Optional[np.ndarray] = None  # (T, C) undecoded frames
+        self._tail: Optional[np.ndarray] = None  # retained end of last chunk
 
     def push_tokens(self, audio_tokens: np.ndarray):
         audio_tokens = np.asarray(audio_tokens)
         if audio_tokens.ndim != 2:
             raise ValueError(f"Expected [T, C] audio tokens, got {audio_tokens.shape}")
-        self._buffer.append(audio_tokens)
-        self._buffer_len += audio_tokens.shape[0]
+        self._pending = (audio_tokens if self._pending is None
+                         else np.concatenate([self._pending, audio_tokens]))
+
+    @property
+    def _pending_frames(self) -> int:
+        return 0 if self._pending is None else self._pending.shape[0]
+
+    def _take(self, n: int) -> np.ndarray:
+        head, rest = self._pending[:n], self._pending[n:]
+        self._pending = rest if rest.shape[0] else None
+        return head
 
     def audio_chunks(self) -> Iterable[np.ndarray]:
-        while self._buffer_len >= self.chunk_frames:
-            tokens = self._consume(self.chunk_frames)
-            yield self._apply_crossfade(self._decode(tokens, chunk_duration=0.32))
+        while self._pending_frames >= self.chunk_frames:
+            wav = self._decode(self._take(self.chunk_frames),
+                               chunk_duration=0.32)
+            yield self._emit(wav, final=False)
 
     def flush(self) -> Optional[np.ndarray]:
-        if self._buffer_len == 0:
+        if self._pending_frames == 0:
             return None
-        tokens = self._consume(self._buffer_len)
-        return self._apply_crossfade(self._decode(tokens), final_chunk=True)
-
-    def _consume(self, num_frames: int) -> np.ndarray:
-        frames, remaining = [], num_frames
-        while remaining > 0 and self._buffer:
-            head = self._buffer[0]
-            if head.shape[0] <= remaining:
-                frames.append(head)
-                remaining -= head.shape[0]
-                self._buffer.pop(0)
-            else:
-                frames.append(head[:remaining])
-                self._buffer[0] = head[remaining:]
-                remaining = 0
-        self._buffer_len -= num_frames - remaining
-        return np.concatenate(frames, axis=0)
+        wav = self._decode(self._take(self._pending_frames))
+        return self._emit(wav, final=True)
 
     def _decode(self, tokens: np.ndarray, chunk_duration: float = 0.32) -> np.ndarray:
         kw = dict(self.decode_kwargs)
@@ -417,37 +436,32 @@ class AudioStreamDecoder:
             wav = wav.reshape(-1)
         return wav
 
-    def _overlap_samples(self, wav: np.ndarray) -> int:
-        if self.chunk_frames <= 0:
-            return 0
-        return int(wav.size * (self.overlap_frames / self.chunk_frames))
-
-    def _apply_crossfade(self, wav: np.ndarray, final_chunk: bool = False) -> np.ndarray:
+    def _emit(self, wav: np.ndarray, *, final: bool) -> np.ndarray:
         if self.overlap_frames <= 0:
             return wav
-        if self._prev_tail is None:
-            self._prev_tail = None if final_chunk else wav[-self._overlap_samples(wav):].copy()
+        # seam width: overlap_frames' share of THIS chunk's samples (a short
+        # flush narrows the seam), capped by what the last chunk retained
+        width = 0
+        if self.chunk_frames > 0:
+            width = int(wav.size * (self.overlap_frames / self.chunk_frames))
+        if self._tail is None:
+            self._tail = None if final else wav[-width:].copy()
             return wav
-        overlap = self._overlap_samples(wav)
-        prev_tail = self._prev_tail
-        overlap = min(overlap, prev_tail.size)
-        if overlap == 0:
+        width = min(width, self._tail.size)
+        if width == 0:
             return wav
-        from ..utils.native import crossfade_native
-
-        merged = crossfade_native(prev_tail, wav, overlap)
-        if merged is None:
-            fade_out = np.linspace(1.0, 0.0, overlap, dtype=np.float32)
-            fade_in = 1.0 - fade_out
-            cross = prev_tail[-overlap:] * fade_out + wav[:overlap] * fade_in
-            merged = np.concatenate([prev_tail[:-overlap], cross, wav[overlap:]])
-        self._prev_tail = None if final_chunk else wav[-overlap:].copy()
-        return merged
+        out = _linear_blend(self._tail, wav, width)
+        self._tail = None if final else wav[-width:].copy()
+        return out
 
 
 class TextDeltaTokenizer:
-    """LLM delta text -> stable incremental token ids: re-encode the full
-    text each delta, hold back the still-mutable tail (reference :807-851)."""
+    """LLM delta text -> stable incremental token ids. Tokenizations are
+    not prefix-stable, so the accumulated text is re-encoded on every delta
+    and only ids a safety margin behind the end are released; flush drops
+    the margin. Emission is monotonic — once released, an id is never
+    retracted (contract of reference :807-851; schedule pinned by
+    tests/test_realtime.py::test_text_delta_tokenizer_incremental_golden)."""
 
     def __init__(self, tokenizer, *, hold_back: int = 3):
         self.tokenizer = tokenizer
@@ -464,21 +478,23 @@ class TextDeltaTokenizer:
     def token_ids(self) -> List[int]:
         return list(self._all_ids)
 
+    def _release(self, margin: int) -> List[int]:
+        """Re-encode the accumulated text and release every id up to
+        ``len - margin`` that hasn't been released yet."""
+        self._all_ids = self.tokenizer.encode(self._text, add_special_tokens=False)
+        upto = max(self._emitted, len(self._all_ids) - margin)
+        out = self._all_ids[self._emitted:upto]
+        self._emitted = upto
+        return out
+
     def push_delta(self, delta: str) -> List[int]:
         if not delta:
             return []
         self._text += str(delta)
-        self._all_ids = self.tokenizer.encode(self._text, add_special_tokens=False)
-        stable = max(self._emitted, len(self._all_ids) - self.hold_back)
-        new_ids = self._all_ids[self._emitted : stable]
-        self._emitted = stable
-        return new_ids
+        return self._release(self.hold_back)
 
     def flush(self) -> List[int]:
-        self._all_ids = self.tokenizer.encode(self._text, add_special_tokens=False)
-        remaining = self._all_ids[self._emitted :]
-        self._emitted = len(self._all_ids)
-        return remaining
+        return self._release(0)
 
 
 def sanitize_audio_tokens(tokens: np.ndarray, *, codebook_size: int,

@@ -215,3 +215,68 @@ def test_cache_growth_toward_max_context(proc):
     if used > 128:
         assert eng.cache_len > start_len or start_len >= used
     assert eng.cache_len <= eng.max_context
+
+
+def test_stream_decoder_crossfade_golden():
+    """Exact-value pin for the chunked crossfade contract (reference
+    streaming_mossttsrealtime.py:679-804): the oracle below is written
+    out inline so any restructuring of AudioStreamDecoder must reproduce
+    it sample-for-sample, including the proportional-overlap flush and
+    the re-emitted head of the previous tail."""
+    class SeqCodec:
+        codebook_size = 1024
+
+        def __init__(self):
+            self.calls = 0
+
+        def decode(self, tokens, chunk_duration=None, **kw):
+            T = np.asarray(tokens).shape[1]
+            self.calls += 1
+            wav = 100.0 * self.calls + np.arange(T * 5, dtype=np.float32)
+            return {"audio": [wav]}
+
+    dec = AudioStreamDecoder(SeqCodec(), chunk_frames=4, overlap_frames=2)
+    dec.push_tokens(np.zeros((5, RVQ), np.int64))
+    dec.push_tokens(np.zeros((6, RVQ), np.int64))  # split pushes: 11 frames
+    chunks = list(dec.audio_chunks())
+    assert len(chunks) == 2
+    tail = dec.flush()
+
+    w1 = 100.0 + np.arange(20, dtype=np.float32)
+    w2 = 200.0 + np.arange(20, dtype=np.float32)
+    w3 = 300.0 + np.arange(15, dtype=np.float32)
+
+    def blend(prev_tail, wav, ov):
+        fade_out = np.linspace(1.0, 0.0, ov, dtype=np.float32)
+        cross = prev_tail[-ov:] * fade_out + wav[:ov] * (1.0 - fade_out)
+        return np.concatenate([prev_tail[:-ov], cross, wav[ov:]])
+
+    ov = 10  # 20 samples * overlap/chunk = 20 * 2/4
+    np.testing.assert_allclose(chunks[0], w1, rtol=1e-6)
+    np.testing.assert_allclose(chunks[1], blend(w1[-ov:], w2, ov), rtol=1e-6)
+    # flush: 15-sample final chunk -> overlap int(15*2/4)=7 against the
+    # retained 10-sample tail; the 3 unfaded tail samples re-emit
+    np.testing.assert_allclose(tail, blend(w2[-ov:], w3, 7), rtol=1e-6)
+    assert tail.size == 18
+
+
+def test_text_delta_tokenizer_incremental_golden():
+    """Pin the per-delta emission schedule, not just the concatenation:
+    each delta re-encodes the accumulated text and may only emit up to
+    len(ids) - hold_back, monotonically (reference :807-851)."""
+    tok = ByteFallbackTokenizer()
+    tdt = TextDeltaTokenizer(tok, hold_back=3)
+    full = "incremental delta emission schedule pin."
+    emitted, batches = 0, []
+    for i in range(0, len(full), 7):
+        out = tdt.push_delta(full[i:i + 7])
+        ids_now = tok.encode(full[:i + 7], add_special_tokens=False)
+        stable = max(emitted, len(ids_now) - 3)
+        assert out == ids_now[emitted:stable]
+        emitted = stable
+        batches.append(out)
+    rest = tdt.flush()
+    ids_all = tok.encode(full, add_special_tokens=False)
+    assert rest == ids_all[emitted:]
+    assert sum(batches, []) + rest == ids_all
+    assert tdt.push_delta("") == []
