@@ -260,11 +260,17 @@ class CodecTrainer:
         dec = codec.decode(arr, chunk_duration=None)
         recon = np.asarray(dec.audio)[:, 0]
         n = min(recon.shape[1], wav.shape[1])
+        from .speech_synth import mcd_db
+
         return {
             "si_snr_db": float(np.mean(
                 [si_snr(recon[b, :n], wav[b, :n]) for b in range(wav.shape[0])])),
             "mel_dist": float(np.mean(
                 [mel_distance(recon[b, :n], wav[b, :n]) for b in range(wav.shape[0])])),
+            # ABX proxy: mel-cepstral distortion (phase-insensitive, dB)
+            "mcd_db": float(np.mean(
+                [mcd_db(recon[b, :n], wav[b, :n], self.cfg.sampling_rate)
+                 for b in range(wav.shape[0])])),
         }
 
     def tokenizer(self) -> MossAudioTokenizer:

@@ -156,3 +156,48 @@ def test_discriminator_shapes_and_losses():
     leaves = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_synthetic_speech_generator():
+    """The no-egress speech generator must be deterministic by seed,
+    bounded, and actually speech-shaped: energy concentrated in the
+    formant band, harmonic (voiced) structure present, and distinct
+    utterances apart under the MCD metric."""
+    from mosstts_tpu.codec.speech_synth import (
+        mcd_db,
+        synthetic_speech_batch,
+    )
+
+    sr = 24000
+    w = synthetic_speech_batch(np.random.default_rng(7), 4, 1.0, sr)
+    assert w.shape == (4, sr) and w.dtype == np.float32
+    assert np.isfinite(w).all() and np.abs(w).max() <= 0.99
+    rms = np.sqrt((w ** 2).mean(axis=1))
+    assert (rms > 0.05).all() and (rms < 0.2).all()
+    # spectral mass in the formant band dominates the >8 kHz band
+    spec = np.abs(np.fft.rfft(w, axis=1))
+    f = np.fft.rfftfreq(sr, 1 / sr)
+    lo = spec[:, (f > 100) & (f < 3500)].mean(axis=1)
+    hi = spec[:, f > 8000].mean(axis=1)
+    assert (lo > 5 * hi).all(), lo / hi
+    # deterministic by seed
+    w2 = synthetic_speech_batch(np.random.default_rng(7), 4, 1.0, sr)
+    np.testing.assert_array_equal(w, w2)
+    # the ABX-proxy metric: zero for identity, large across utterances
+    assert mcd_db(w[0], w[0], sr) < 1e-4
+    assert mcd_db(w[0], w[1], sr) > 5.0
+    # works at the codec's actual sampling rate config too
+    w3 = synthetic_speech_batch(np.random.default_rng(1), 2, 0.5, 16000)
+    assert w3.shape == (2, 8000) and np.isfinite(w3).all()
+
+
+def test_trainer_evaluate_reports_mcd():
+    from mosstts_tpu.codec.speech_synth import synthetic_speech_batch
+    from mosstts_tpu.codec.train import CodecTrainer
+
+    trainer = CodecTrainer(TINY, num_quantizers=2, total_steps=10)
+    wav = synthetic_speech_batch(np.random.default_rng(0), 2, 2.0,
+                                 TINY.sampling_rate)
+    m = trainer.evaluate(wav)
+    assert set(m) >= {"si_snr_db", "mel_dist", "mcd_db"}
+    assert np.isfinite(m["mcd_db"]) and m["mcd_db"] > 0

@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--save", default=None)
     ap.add_argument("--max-minutes", type=float, default=0.0,
                     help="stop (checkpoint + report) after this wall time")
+    ap.add_argument("--data", choices=("tones", "speech"), default="speech",
+                    help="training distribution: harmonic tone mixtures, or "
+                         "formant-synthesized speech (pitch/prosody "
+                         "trajectories, vowel formant glides, fricatives — "
+                         "codec/speech_synth.py)")
     args = ap.parse_args(argv)
 
     cfg = CodecConfig(
@@ -70,10 +75,22 @@ def main(argv=None):
         adv_weight=args.adv_weight, fm_weight=args.fm_weight,
         adv_start=args.adv_start)
 
-    data = synthetic_data_iter(0, args.batch, args.seconds, cfg.sampling_rate)
-    # held-out: a different seed than any training batch
-    eval_wav = synthetic_audio_batch(np.random.default_rng(99), 4,
-                                     args.seconds, cfg.sampling_rate)
+    if args.data == "speech":
+        from mosstts_tpu.codec.speech_synth import (
+            synthetic_speech_batch,
+            synthetic_speech_iter,
+        )
+
+        data = synthetic_speech_iter(0, args.batch, args.seconds,
+                                     cfg.sampling_rate)
+        # held-out: a different seed than any training batch
+        eval_wav = synthetic_speech_batch(np.random.default_rng(99), 4,
+                                          args.seconds, cfg.sampling_rate)
+    else:
+        data = synthetic_data_iter(0, args.batch, args.seconds,
+                                   cfg.sampling_rate)
+        eval_wav = synthetic_audio_batch(np.random.default_rng(99), 4,
+                                         args.seconds, cfg.sampling_rate)
 
     t0 = time.perf_counter()
     deadline = t0 + args.max_minutes * 60 if args.max_minutes else None
