@@ -765,7 +765,11 @@ def run_ttfa(args) -> dict:
     def one_run() -> float:
         session.reset_turn(user_text="hi", user_audio_tokens=user_audio,
                            reset_cache=True)
-        decoder = AudioStreamDecoder(codec, chunk_frames=3, overlap_frames=0)
+        # first chunk after ONE frame (80 ms of audio): the p95 shave —
+        # waiting for a full 3-frame window put two extra frame steps
+        # ahead of the first audible sample
+        decoder = AudioStreamDecoder(codec, chunk_frames=3, overlap_frames=0,
+                                     first_chunk_frames=1)
         bridge = RealtimeTextStreamBridge(session, decoder)
         # LLM-delta-sized pushes: 12 tokens trigger prefill (frame 1), then
         # each small push steps one frame per token

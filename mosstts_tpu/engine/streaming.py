@@ -386,11 +386,17 @@ class AudioStreamDecoder:
     the unblended part of that tail is re-emitted ahead of the seam."""
 
     def __init__(self, codec, chunk_frames: int = 40, overlap_frames: int = 4,
-                 decode_kwargs: Optional[dict] = None):
+                 decode_kwargs: Optional[dict] = None,
+                 first_chunk_frames: Optional[int] = None):
         self.codec = codec
         self.chunk_frames = chunk_frames
         self.overlap_frames = overlap_frames
         self.decode_kwargs = decode_kwargs or {}
+        # TTFA lever: emit the FIRST window after only this many frames
+        # (e.g. 1 = first audible samples one frame after prefill), then
+        # settle into chunk_frames windows. None keeps uniform windows.
+        self.first_chunk_frames = first_chunk_frames
+        self._chunks_out = 0
         self._pending: Optional[np.ndarray] = None  # (T, C) undecoded frames
         self._tail: Optional[np.ndarray] = None  # retained end of last chunk
 
@@ -410,10 +416,16 @@ class AudioStreamDecoder:
         self._pending = rest if rest.shape[0] else None
         return head
 
+    def _window(self) -> int:
+        if self._chunks_out == 0 and self.first_chunk_frames:
+            return min(self.first_chunk_frames, self.chunk_frames)
+        return self.chunk_frames
+
     def audio_chunks(self) -> Iterable[np.ndarray]:
-        while self._pending_frames >= self.chunk_frames:
-            wav = self._decode(self._take(self.chunk_frames),
+        while self._pending_frames >= self._window():
+            wav = self._decode(self._take(self._window()),
                                chunk_duration=0.32)
+            self._chunks_out += 1
             yield self._emit(wav, final=False)
 
     def flush(self) -> Optional[np.ndarray]:

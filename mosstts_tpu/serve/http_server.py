@@ -255,8 +255,10 @@ class Handler(BaseHTTPRequestHandler):
                                             engine.config.rvq))
         session.reset_turn(user_text=body.get("user_text", ""),
                            user_audio_tokens=user_audio)
-        decoder = AudioStreamDecoder(codec, chunk_frames=int(body.get("chunk_frames", 12)),
-                                     overlap_frames=int(body.get("overlap_frames", 2)))
+        decoder = AudioStreamDecoder(
+            codec, chunk_frames=int(body.get("chunk_frames", 12)),
+            overlap_frames=int(body.get("overlap_frames", 2)),
+            first_chunk_frames=int(body.get("first_chunk_frames", 2)))
         bridge = RealtimeTextStreamBridge(session, decoder)
         m = SynthesisMetrics(sample_rate=codec.sampling_rate)
 
@@ -341,7 +343,8 @@ class Handler(BaseHTTPRequestHandler):
 
         decoder = AudioStreamDecoder(
             codec, chunk_frames=int(body.get("chunk_frames", 12)),
-            overlap_frames=int(body.get("overlap_frames", 2)))
+            overlap_frames=int(body.get("overlap_frames", 2)),
+            first_chunk_frames=int(body.get("first_chunk_frames", 2)))
         m = SynthesisMetrics(sample_rate=codec.sampling_rate)
 
         self.send_response(200)

@@ -280,3 +280,29 @@ def test_text_delta_tokenizer_incremental_golden():
     assert rest == ids_all[emitted:]
     assert sum(batches, []) + rest == ids_all
     assert tdt.push_delta("") == []
+
+
+def test_stream_decoder_first_chunk_frames():
+    """TTFA lever: first_chunk_frames emits the opening window early (one
+    frame), then settles into uniform chunk_frames windows; seams stay
+    proportional to each window's size."""
+    class SeqCodec:
+        codebook_size = 1024
+
+        def decode(self, tokens, chunk_duration=None, **kw):
+            T = np.asarray(tokens).shape[1]
+            return {"audio": [np.ones(T * 10, np.float32)]}
+
+    dec = AudioStreamDecoder(SeqCodec(), chunk_frames=4, overlap_frames=0,
+                             first_chunk_frames=1)
+    dec.push_tokens(np.zeros((1, RVQ), np.int64))
+    first = list(dec.audio_chunks())
+    assert len(first) == 1 and first[0].size == 10  # 1 frame, immediately
+    dec.push_tokens(np.zeros((8, RVQ), np.int64))
+    rest = list(dec.audio_chunks())
+    assert [c.size for c in rest] == [40, 40]
+    assert dec.flush() is None
+    # default (None) keeps the old uniform behavior
+    dec2 = AudioStreamDecoder(SeqCodec(), chunk_frames=4, overlap_frames=0)
+    dec2.push_tokens(np.zeros((1, RVQ), np.int64))
+    assert list(dec2.audio_chunks()) == []
