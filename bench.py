@@ -412,8 +412,6 @@ def run_realtime_server(args) -> dict:
         g[:, 1:] = rng.integers(0, 1024, (T, cfg.rvq))
         text = [int(t) for t in rng.integers(100, 1000, 80)]
         reqs.append((g, text))
-    max_news = [int(x) for x in rng.integers(args.steps // 2, args.steps,
-                                             n_requests)]
 
     dt = jnp.float32 if args.tiny else jnp.bfloat16
     server = RealtimeBatchServer(
@@ -424,36 +422,59 @@ def run_realtime_server(args) -> dict:
     # requests are 4-11 grid rows + the 12-token text prefix -> prompt
     # buckets 16 and 32; warm both so no compile lands mid-serve
     server.warmup(prompt_lens=(16, 32), attend_upto=256)
-    for (g, t), mn in zip(reqs, max_news):
-        server.submit(g, t, max_new_tokens=mn)
-    t0 = time.perf_counter()
-    # block=1 measured FASTER than block=4 on this box (20.8 vs 44.8 ms/
-    # step): per-step dispatch already overlaps on the device-chained
-    # state, and step_block's per-block _collect doubles the sync rate
-    # vs poll_every=8
-    done = server.run(max_steps=100000)
-    cb_elapsed = time.perf_counter() - t0
-    cb_frames = sum(c.steps for c in done)
-
-    # static: groups of `slots`, each decoding to its longest member
     engine = RealtimeEngine(params, cfg, dtype=dt, cache_len=1024,
                             max_length=args.steps + 16, prefill_bucket=16)
-    log("[rt-server] static lock-step comparison...")
     engine.generate([reqs[i][0] for i in range(slots)],
                     [reqs[i][1] for i in range(slots)], max_length=8)
-    t0 = time.perf_counter()
-    static_frames = 0
-    for i in range(0, n_requests, slots):
-        group = reqs[i:i + slots]
-        mns = max_news[i:i + slots]
-        engine.reset_generation_state(keep_cache=False)
-        engine.generate([g for g, _ in group], [t for _, t in group],
-                        max_length=max(mns))
-        static_frames += (max(mns) + 1) * len(group)
-    static_elapsed = time.perf_counter() - t0
 
-    cb_fps = cb_frames / cb_elapsed
-    st_fps = static_frames / static_elapsed
+    def measure(max_news):
+        """One CB-vs-static comparison at a given utterance-length mix."""
+        for (g, t), mn in zip(reqs, max_news):
+            server.submit(g, t, max_new_tokens=mn)
+        t0 = time.perf_counter()
+        # block=1 measured FASTER than block=4 on this box (20.8 vs 44.8
+        # ms/step): per-step dispatch already overlaps on the device-
+        # chained state, and step_block's per-block _collect doubles the
+        # sync rate vs poll_every=8
+        done = server.run(max_steps=100000)
+        cb_elapsed = time.perf_counter() - t0
+        cb_frames = sum(c.steps for c in done)
+
+        # static: groups of `slots`, each decoding to its longest member
+        t0 = time.perf_counter()
+        static_frames = 0
+        for i in range(0, n_requests, slots):
+            group = reqs[i:i + slots]
+            mns = max_news[i:i + slots]
+            engine.reset_generation_state(keep_cache=False)
+            engine.generate([g for g, _ in group], [t for _, t in group],
+                            max_length=max(mns))
+            static_frames += (max(mns) + 1) * len(group)
+        static_elapsed = time.perf_counter() - t0
+        return (cb_frames / cb_elapsed, static_frames / static_elapsed,
+                cb_elapsed, static_elapsed, done)
+
+    max_news = [int(x) for x in rng.integers(args.steps // 2, args.steps,
+                                             n_requests)]
+    done_total_steps_before = server.total_steps
+    cb_fps, st_fps, cb_elapsed, static_elapsed, done = measure(max_news)
+
+    # the crossover regime: unrealistically SHORT utterances (32-64 frames)
+    # churn admissions — the regime where batch-1 admission prefills used
+    # to lose 2.5x (VERDICT r3 #5; fixed by the fused batch-k admission)
+    log("[rt-server] short-utterance crossover regime...")
+    short_max_news = [int(x) for x in rng.integers(32, 64, n_requests)]
+    if args.tiny:
+        short_max_news = [max(4, m // 8) for m in short_max_news]
+    s_cb_fps, s_st_fps, _, _, _ = measure(short_max_news)
+
+    crossover = {
+        "short_cb_frames_per_sec": round(s_cb_fps, 1),
+        "short_static_frames_per_sec": round(s_st_fps, 1),
+        "short_cb_vs_static": round(s_cb_fps / max(s_st_fps, 1e-9), 3),
+        "short_utterance_frames": [min(short_max_news),
+                                   max(short_max_news)],
+    }
     return {
         "metric": "realtime_continuous_batching_frames_per_sec",
         "value": round(cb_fps, 1),
@@ -461,14 +482,15 @@ def run_realtime_server(args) -> dict:
         "vs_baseline": round(cb_fps / max(st_fps, 1e-9), 3),
         "detail": {
             "slots": slots, "requests": n_requests,
-            "decode_steps": server.total_steps,
-            "useful_frames": cb_frames,
+            "decode_steps": server.total_steps - done_total_steps_before,
+            "useful_frames": sum(c.steps for c in done),
             "cb_wall_s": round(cb_elapsed, 1),
             "static_frames_per_sec": round(st_fps, 1),
             "static_wall_s": round(static_elapsed, 1),
             "total_x_realtime": round(cb_fps / 12.5, 1),
             "int8": True,
             "device": str(jax.devices()[0]),
+            **crossover,
         },
     }
 
