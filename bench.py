@@ -951,8 +951,11 @@ def run_sweep(args):
     sections = [
         ("throughput", ["--size", "all", "--direct"], 2700),
         ("local_family", ["--family", "local", "--direct"], 1500),
-        ("realtime_server", ["--rt-server", "--direct"], 2100),
+        # rt-server runs BOTH utterance regimes (headline + short-utterance
+        # crossover) since round 4 — wider timeout
+        ("realtime_server", ["--rt-server", "--direct"], 2700),
         ("batch_server", ["--batch-server", "--paged", "--direct"], 2700),
+        ("ttfa", ["--ttfa", "--direct"], 1500),
     ]
     for name, argv, tmo in sections:
         log(f"sweep: running section '{name}' (timeout {tmo}s)")
