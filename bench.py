@@ -456,8 +456,9 @@ def run_realtime_server(args) -> dict:
 
     max_news = [int(x) for x in rng.integers(args.steps // 2, args.steps,
                                              n_requests)]
-    done_total_steps_before = server.total_steps
+    steps_before = server.total_steps
     cb_fps, st_fps, cb_elapsed, static_elapsed, done = measure(max_news)
+    headline_decode_steps = server.total_steps - steps_before
 
     # the crossover regime: unrealistically SHORT utterances (32-64 frames)
     # churn admissions — the regime where batch-1 admission prefills used
@@ -482,7 +483,7 @@ def run_realtime_server(args) -> dict:
         "vs_baseline": round(cb_fps / max(st_fps, 1e-9), 3),
         "detail": {
             "slots": slots, "requests": n_requests,
-            "decode_steps": server.total_steps - done_total_steps_before,
+            "decode_steps": headline_decode_steps,
             "useful_frames": sum(c.steps for c in done),
             "cb_wall_s": round(cb_elapsed, 1),
             "static_frames_per_sec": round(st_fps, 1),
@@ -945,9 +946,22 @@ def run_sweep(args):
             "detail": detail,
         }))
         return
+    # forward every tuning flag the user set to the section subprocesses —
+    # a silently-dropped --kv-int8 would label default-KV numbers as the
+    # requested configuration
     passthru = []
     if args.steps != 64:
         passthru += ["--steps", str(args.steps)]
+    if args.prompt != 128:
+        passthru += ["--prompt", str(args.prompt)]
+    if args.warmup != 8:
+        passthru += ["--warmup", str(args.warmup)]
+    if args.batch is not None:
+        passthru += ["--batch", str(args.batch)]
+    if args.kv_int8:
+        passthru += ["--kv-int8"]
+    if getattr(args, "bf16", False):
+        passthru += ["--bf16"]
     sections = [
         ("throughput", ["--size", "all", "--direct"], 2700),
         ("local_family", ["--family", "local", "--direct"], 1500),

@@ -466,9 +466,13 @@ class DelayBatchServer:
         mask = np.zeros((1, Tb), bool)
         mask[0, Tb - T:] = True
         # explicit seeds reproduce across server lifetimes (the request id
-        # is monotonic per-process, so it must NOT enter a seeded stream)
+        # is monotonic per-process, so it must NOT enter a seeded stream).
+        # int-only hash input: tuples containing a str hash differently in
+        # every process (PYTHONHASHSEED salting), which would silently break
+        # the cross-lifetime guarantee.
         rng = jax.random.PRNGKey(
-            hash(("req", req.seed if req.seed is not None else req.request_id))
+            hash((0xD317A9,
+                  req.seed if req.seed is not None else req.request_id))
             & 0x7FFFFFFF)
         self._set_slot_sampling(slot, req.sampling or {})
         small = self._prefill_fn(Tb)(

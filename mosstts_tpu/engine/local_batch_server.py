@@ -190,7 +190,7 @@ class LocalBatchServer:
         ids[0, Tb - T:] = req.input_ids
         mask = np.zeros((1, Tb), bool)
         mask[0, Tb - T:] = True
-        rng = jax.random.PRNGKey(hash(("local-req", req.request_id)) & 0x7FFFFFFF)
+        rng = jax.random.PRNGKey(hash((0x10CA1, req.request_id)) & 0x7FFFFFFF)
         small = self._prefill_fn(Tb)(
             self.params, jnp.asarray(ids), jnp.asarray(mask), rng)
         # local_prefill_split leaves pos = Tb-1 (the cur_ids row's slot)

@@ -70,19 +70,25 @@ def _splice_rt_rows(big: RealtimeState, small: RealtimeState,
     (traced (k,) indices, so ONE compiled program covers every slot
     combination — per-slot jit keys cost a remote compile per slot, the
     delay server's measured trap). ``small``'s scalar cursors broadcast
-    over the k target rows. Duplicate row indices (k-bucket padding) write
-    identical values, so the scatter stays deterministic."""
+    over the k target rows. k-bucket padding rows carry an OUT-OF-RANGE
+    row index and mode='drop' discards their writes — under sampling the
+    padded duplicate draws different per-row noise, so a duplicate-index
+    scatter would be nondeterministic."""
     cache = type(big.cache)(*(
-        bf.at[:, rows].set(sf) for bf, sf in zip(big.cache, small.cache)
+        bf.at[:, rows].set(sf, mode="drop")
+        for bf, sf in zip(big.cache, small.cache)
     ))
+    cur = jnp.broadcast_to(small.cur_len, rows.shape)
+    hl = jnp.broadcast_to(small.hist_len, rows.shape)
     return RealtimeState(
         cache=cache,
-        kv_valid=big.kv_valid.at[rows].set(small.kv_valid),
-        cur_len=big.cur_len.at[rows].set(small.cur_len),
-        last_audio=big.last_audio.at[rows].set(small.last_audio),
-        is_stopping=big.is_stopping.at[rows].set(small.is_stopping),
-        history=big.history.at[rows].set(small.history),
-        hist_len=big.hist_len.at[rows].set(small.hist_len),
+        kv_valid=big.kv_valid.at[rows].set(small.kv_valid, mode="drop"),
+        cur_len=big.cur_len.at[rows].set(cur, mode="drop"),
+        last_audio=big.last_audio.at[rows].set(small.last_audio, mode="drop"),
+        is_stopping=big.is_stopping.at[rows].set(small.is_stopping,
+                                                 mode="drop"),
+        history=big.history.at[rows].set(small.history, mode="drop"),
+        hist_len=big.hist_len.at[rows].set(hl, mode="drop"),
         rng=big.rng,
     )
 
@@ -276,21 +282,30 @@ class RealtimeBatchServer:
         ids = np.full((kb, Tb, cfg.rvq + 1), cfg.audio_pad_token, np.int64)
         ids[..., 0] = self.pad_token_id
         valid = np.zeros((kb, Tb), bool)
-        slots_idx = np.zeros(kb, np.int32)
+        # padding rows target row index == slots (out of range): the splice
+        # drops their writes (see _splice_rt_rows)
+        slots_idx = np.full(kb, self.slots, np.int32)
         for i, (slot, _req, rows) in enumerate(padded):
             ids[i, Tb - rows.shape[0]:] = rows
             valid[i, Tb - rows.shape[0]:] = True
-            slots_idx[i] = slot
+            if i < k:
+                slots_idx[i] = slot
         for slot, req, _rows in group:
             self._set_slot_sampling(slot, req.sampling or {})
         h = self._samp_host
+        samp_slots = np.array([s for s, _r, _w in padded], np.int64)
         sampling = make_rt_sampling(
-            temperature=h["temperature"][slots_idx].copy(),
-            top_p=h["top_p"][slots_idx].copy(),
-            repetition_penalty=h["repetition_penalty"][slots_idx].copy(),
-            do_sample=h["do_sample"][slots_idx].copy())
+            temperature=h["temperature"][samp_slots].copy(),
+            top_p=h["top_p"][samp_slots].copy(),
+            repetition_penalty=h["repetition_penalty"][samp_slots].copy(),
+            do_sample=h["do_sample"][samp_slots].copy())
+        # int-only hash input: string tuples are salted per-process
+        # (PYTHONHASHSEED) and would break same-run determinism guarantees.
+        # NOTE sampled (do_sample) streams are still cohort-dependent — the
+        # decode loop shares one batch rng across slots by design; greedy
+        # streams are exactly reproducible (pinned vs the solo engine).
         rids = tuple(req.request_id for _s, req, _r in group)
-        rng = jax.random.PRNGKey(hash(("rt-admit",) + rids) & 0x7FFFFFFF)
+        rng = jax.random.PRNGKey(hash((0x52D417, *rids)) & 0x7FFFFFFF)
         attend = attend_bucket(Tb, max(self.prompt_bucket, 128), self.cache_len)
         self.state = self._admit_fn(kb, Tb, attend)(
             self.params, self.state, jnp.asarray(ids), jnp.asarray(valid),
@@ -474,7 +489,10 @@ class RealtimeBatchServer:
                 ids[:, -1, 0] = self.text_pad_id
                 ids[:, -1, 1] = cfg.audio_bos_token
                 valid = np.ones((kb, Tb), bool)
-                rows = (np.arange(kb) % self.slots).astype(np.int32)
+                # rows beyond the slot count drop their writes (mode='drop')
+                rows = np.where(np.arange(kb) < self.slots,
+                                np.arange(kb) % self.slots,
+                                self.slots).astype(np.int32)
                 sd = self._samp_default
                 sampling = make_rt_sampling(**{
                     k: np.full(kb, v,

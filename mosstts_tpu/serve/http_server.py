@@ -211,9 +211,14 @@ class Handler(BaseHTTPRequestHandler):
             if _STATE.get("rt_pool") is None:
                 from .pool import RealtimeServingPool
 
-                _STATE["rt_pool"] = RealtimeServingPool(
+                pool = RealtimeServingPool(
                     engine.params, engine.config, slots=a.rt_pool_slots,
                     dtype=engine.dtype, cache_len=4096, max_frames=2048)
+                # precompile the serving programs NOW (first creating
+                # request pays once) — a remote compile landing inside a
+                # live stream stalls every conversation for minutes
+                pool.warmup(prompt_lens=(32, 64), attend_upto=512)
+                _STATE["rt_pool"] = pool
             return _STATE["rt_pool"]
 
     def _stream(self, body):

@@ -198,7 +198,12 @@ class RealtimeStreamHandle:
 
     def frames(self, timeout: Optional[float] = None):
         while True:
-            block = self._q.get(timeout=timeout)
+            try:
+                block = self._q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError(
+                    f"no frame within {timeout}s (stream "
+                    f"{self.request_id})") from None
             if block is None:
                 if self._error is not None:
                     raise RuntimeError(
@@ -253,6 +258,15 @@ class RealtimeServingPool:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=5)
+        # release any consumer still blocked in frames(): the loop thread
+        # is gone, so no sentinel would ever arrive. Mark the stream as
+        # errored — it is truncated, not complete.
+        with self._lock:
+            for h in self._handles.values():
+                if h._error is None:
+                    h._error = RuntimeError("pool closed mid-stream")
+                h._q.put(None)
+            self._handles.clear()
 
     # ------------------------------------------------------------------
     def open_stream(self, grid: np.ndarray, text_ids, *,
