@@ -244,3 +244,32 @@ def test_realtime_server_batched_admission_mixed_buckets():
         assert n >= mn - 1, (rid, len(ref), len(got), mn)
         np.testing.assert_array_equal(got[:n], np.asarray(ref)[:n],
                                       err_msg=f"request {rid}")
+
+
+def test_realtime_server_sampled_padded_admission_deterministic():
+    """kb-padding rows must not corrupt real slots under SAMPLING: the
+    padded duplicate draws different per-row noise, so a duplicate-index
+    scatter would be nondeterministic (review finding; fixed with
+    mode='drop' out-of-range padding). Two identical servers running the
+    same 3-way sampled admission (k=3 -> kb=4) must produce identical
+    frames."""
+    from mosstts_tpu.models.realtime import init_realtime_params, make_rt_sampling
+    from mosstts_tpu.engine.realtime_batch_server import RealtimeBatchServer
+
+    params = init_realtime_params(jax.random.PRNGKey(5), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    reqs = _requests(rng, 3)
+
+    def run_once():
+        server = RealtimeBatchServer(
+            params, CFG, slots=3, cache_len=640, max_frames=64,
+            prompt_bucket=16, dtype=jnp.float32,
+            sampling=make_rt_sampling(temperature=0.8, do_sample=True))
+        rids = [server.submit(g, t, max_new_tokens=10) for g, t in reqs]
+        done = {c.request_id: c for c in server.run(max_steps=300)}
+        return [done[r].frames for r in rids]
+
+    a, b = run_once(), run_once()
+    for i, (fa, fb) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(fa, fb, err_msg=f"stream {i}")
+        assert fa.shape[0] > 0
