@@ -82,3 +82,26 @@ def import_ref_local():
             sys.modules["torchaudio"] = types.ModuleType("torchaudio")
     return _load_slice("ref_moss_tts_local", "moss_tts_local",
                        "modeling_moss_tts")
+
+
+def import_ref_realtime():
+    """Reference Realtime modeling + batch inferencer (the torch frame
+    loop under parity test: moss_tts_realtime/inferencer.py:197-298
+    ``_generate_from_ids`` + ``generate_local_transformer`` :349-404).
+
+    The inferencer imports ``mossttsrealtime.modeling_mossttsrealtime``
+    absolutely, so the package is registered under that exact name; its
+    module-level ``import torchaudio`` gets the same unused-stub treatment
+    as the Local slice."""
+    install_transformers_init_shim()
+    if "torchaudio" not in sys.modules:
+        try:
+            import torchaudio  # noqa: F401 - real one if present
+        except ImportError:
+            sys.modules["torchaudio"] = types.ModuleType("torchaudio")
+    modeling = _load_slice("mossttsrealtime",
+                           "moss_tts_realtime/mossttsrealtime",
+                           "modeling_mossttsrealtime")
+    inferencer = _load_slice("ref_rt_inferencer", "moss_tts_realtime",
+                             "inferencer")
+    return modeling, inferencer
