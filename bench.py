@@ -865,6 +865,27 @@ def _kill_group(p):
         pass
 
 
+def _tunnel_tcp_alive(port: int = 8082, timeout: float = 5.0):
+    """Cheap side-effect-free liveness signal for the axon claim relay:
+    TCP-connect to the pool service address. Returns True/False, or None
+    when the topology is unknown (no pool override in the env — then only
+    the real probe can tell). A refused connect means the relay is down
+    and a python probe would hang its full timeout in the gRPC
+    connect-retry loop (measured during the r3-r4 wedge), so the retry
+    schedule can spin in seconds instead of 240 s per attempt."""
+    import socket
+
+    ip = os.environ.get("AXON_POOL_SVC_OVERRIDE") or (
+        os.environ.get("PALLAS_AXON_POOL_IPS") or "").split(",")[0].strip()
+    if not ip:
+        return None
+    try:
+        with socket.create_connection((ip, port), timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
 def ensure_backend_healthy(idle_waits=(0, 240, 420), probe_timeout=240):
     """One tiny device op in a subprocess; on failure, leave the tunnel
     COMPLETELY idle for minutes (no probes queuing behind a stale claim)
@@ -884,6 +905,16 @@ def ensure_backend_healthy(idle_waits=(0, 240, 420), probe_timeout=240):
                 f"{i + 1}/{len(idle_waits)}")
             time.sleep(idle)
         t0 = time.perf_counter()
+        tcp = _tunnel_tcp_alive()
+        if tcp is False:
+            attempts.append({
+                "idle_wait_s": idle, "ok": False,
+                "elapsed_s": round(time.perf_counter() - t0, 1),
+                "tail": "claim-relay TCP connect refused (fast-fail, "
+                        "no probe process spawned)",
+            })
+            log("backend probe: FAILED (relay port closed)")
+            continue
         p = subprocess.Popen(
             [sys.executable, "-c", _PROBE_CODE],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
