@@ -377,12 +377,22 @@ class RealtimeBatchServer:
     def partial_frames(self) -> Dict[int, np.ndarray]:
         """Incremental fetch for STREAMING consumers: request_id ->
         EOS-trimmed frames generated so far, for every in-flight
-        conversation, via ONE fixed-shape history transfer. Lets a serving
-        pool ship wav chunks while the conversation is still decoding
-        instead of waiting for CompletedStream."""
+        conversation, via ONE transfer. The transfer is sliced on device
+        to a 64-frame bucket over the furthest active cursor (host mirror,
+        no device read) — early in conversations this is ~32x less data
+        than the full history buffer, and this fetch is the pool loop's
+        only recurring host sync."""
         if not self._active:
             return {}
-        hist = np.asarray(jax.device_get(self.state.history))
+        active = sorted(self._active)
+        n = int(max(min(self._step_host[s], self._active[s].max_new_tokens,
+                        self.max_frames) for s in active))
+        nb = min(_round_up(max(n, 1), 64), self.max_frames)
+        key = ("hist_slice", nb)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda h, nb=nb: jax.lax.slice_in_dim(h, 0, nb, axis=1))
+        hist = np.asarray(jax.device_get(self._jit[key](self.state.history)))
         return {
             req.request_id: self._trim(hist, slot, req.max_new_tokens).copy()
             for slot, req in sorted(self._active.items())
