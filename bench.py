@@ -428,9 +428,18 @@ def run_realtime_server(args) -> dict:
                     [reqs[i][1] for i in range(slots)], max_length=8)
 
     def measure(max_news):
-        """One CB-vs-static comparison at a given utterance-length mix."""
+        """One CB-vs-static comparison at a given utterance-length mix.
+
+        Both sides are credited USEFUL frames only — min(generated,
+        requested+1) per request. The previous accounting credited static
+        with (max+1) x slots (lock-step groups run to their longest
+        member, so shorter rows' tail frames are garbage nobody asked
+        for: ~35% inflation at a 2:1 length mix) while CB's post-EOS
+        poll slack inflated its side ~8%; the symmetric useful-frames
+        metric is the honest equal-load comparison."""
+        rid_mn = {}
         for (g, t), mn in zip(reqs, max_news):
-            server.submit(g, t, max_new_tokens=mn)
+            rid_mn[server.submit(g, t, max_new_tokens=mn)] = mn
         t0 = time.perf_counter()
         # block=1 measured FASTER than block=4 on this box (20.8 vs 44.8
         # ms/step): per-step dispatch already overlaps on the device-
@@ -438,9 +447,10 @@ def run_realtime_server(args) -> dict:
         # sync rate vs poll_every=8
         done = server.run(max_steps=100000)
         cb_elapsed = time.perf_counter() - t0
-        cb_frames = sum(c.steps for c in done)
+        cb_frames = sum(min(c.steps, rid_mn[c.request_id] + 1) for c in done)
 
-        # static: groups of `slots`, each decoding to its longest member
+        # static: groups of `slots`, each decoding to its longest member;
+        # useful frames = each row's requested count, not the group max
         t0 = time.perf_counter()
         static_frames = 0
         for i in range(0, n_requests, slots):
@@ -449,15 +459,15 @@ def run_realtime_server(args) -> dict:
             engine.reset_generation_state(keep_cache=False)
             engine.generate([g for g, _ in group], [t for _, t in group],
                             max_length=max(mns))
-            static_frames += (max(mns) + 1) * len(group)
+            static_frames += sum(mn + 1 for mn in mns)
         static_elapsed = time.perf_counter() - t0
         return (cb_frames / cb_elapsed, static_frames / static_elapsed,
-                cb_elapsed, static_elapsed, done)
+                cb_elapsed, static_elapsed, cb_frames)
 
     max_news = [int(x) for x in rng.integers(args.steps // 2, args.steps,
                                              n_requests)]
     steps_before = server.total_steps
-    cb_fps, st_fps, cb_elapsed, static_elapsed, done = measure(max_news)
+    cb_fps, st_fps, cb_elapsed, static_elapsed, cb_useful = measure(max_news)
     headline_decode_steps = server.total_steps - steps_before
 
     # the crossover regime: unrealistically SHORT utterances (32-64 frames)
@@ -484,7 +494,7 @@ def run_realtime_server(args) -> dict:
         "detail": {
             "slots": slots, "requests": n_requests,
             "decode_steps": headline_decode_steps,
-            "useful_frames": sum(c.steps for c in done),
+            "useful_frames": cb_useful,
             "cb_wall_s": round(cb_elapsed, 1),
             "static_frames_per_sec": round(st_fps, 1),
             "static_wall_s": round(static_elapsed, 1),
@@ -547,12 +557,16 @@ def run_local_server(args) -> dict:
     # warm via a short dummy request (compiles prefill + first step bucket)
     server.submit(prompts[0][:32], max_new_tokens=2)
     server.run()
+    rid_mn = {}
     for g, mn in zip(prompts, max_news):
-        server.submit(g, max_new_tokens=mn)
+        rid_mn[server.submit(g, max_new_tokens=mn)] = mn
     t0 = time.perf_counter()
     done = server.run(max_steps=100000)
     cb_elapsed = time.perf_counter() - t0
-    cb_frames = sum(c.steps for c in done)
+    # useful frames only (cap post-EOS poll slack at the requested count;
+    # the static side below is likewise credited its requested frames, not
+    # the lock-step group max it actually decodes to)
+    cb_frames = sum(min(c.steps, rid_mn[c.request_id]) for c in done)
 
     engine = LocalEngine(params, cfg, dtype=dt, cache_bucket=256)
     log("[local-server] static comparison...")
@@ -577,7 +591,7 @@ def run_local_server(args) -> dict:
         mns = max_news[i:i + slots]
         ids, msk = batchify(group)
         engine.generate(ids, msk, max_new_tokens=max(mns), **greedy)
-        static_frames += max(mns) * len(group)
+        static_frames += sum(mns)
     static_elapsed = time.perf_counter() - t0
 
     cb_fps = cb_frames / cb_elapsed
@@ -645,8 +659,9 @@ def run_batch_server(args) -> dict:
     server.warmup(prompt_lens=(64, 96), attend_upto=256)
 
     util_samples = []
+    rid_mn = {}
     for g, mn in zip(prompts, max_news):
-        server.submit(g, max_new_tokens=mn)
+        rid_mn[server.submit(g, max_new_tokens=mn)] = mn
     t0 = time.perf_counter()
     done = []
     for _ in range(100000):
@@ -655,7 +670,10 @@ def run_batch_server(args) -> dict:
         if not server._active and not server._queue:
             break
     cb_elapsed = time.perf_counter() - t0
-    cb_frames = sum(c.steps for c in done)
+    # useful frames only on BOTH sides: CB's post-EOS poll slack is capped
+    # at the requested count, and static below is credited each row's
+    # requested frames rather than the lock-step group max it decodes to
+    cb_frames = sum(min(c.steps, rid_mn[c.request_id]) for c in done)
     cb_steps = len(util_samples)
 
     # static batching: same requests, groups of `slots`, each group decodes
@@ -695,7 +713,7 @@ def run_batch_server(args) -> dict:
         engine.generate(ids, msk, max_new_tokens=max(mns),
                         text_temperature=1.7, audio_temperature=1.7,
                         on_device=True)
-        static_frames += max(mns) * len(group)
+        static_frames += sum(mns)
     static_elapsed = time.perf_counter() - t0
 
     cb_fps = cb_frames / cb_elapsed
@@ -718,12 +736,13 @@ def run_batch_server(args) -> dict:
             kv_quant=True, paged=True, page_size=128,
         )
         pserver.warmup(prompt_lens=(64, 96), attend_upto=256)
+        prid_mn = {}
         for g, mn in zip(prompts, max_news):
-            pserver.submit(g, max_new_tokens=mn)
+            prid_mn[pserver.submit(g, max_new_tokens=mn)] = mn
         t0 = time.perf_counter()
         pdone = pserver.run(max_steps=100000)
         p_elapsed = time.perf_counter() - t0
-        p_frames = sum(c.steps for c in pdone)
+        p_frames = sum(min(c.steps, prid_mn[c.request_id]) for c in pdone)
         paged_detail = {
             "paged_frames_per_sec": round(p_frames / p_elapsed, 1),
             "paged_vs_linear": round((p_frames / p_elapsed) / max(cb_fps, 1e-9), 3),
@@ -826,7 +845,9 @@ def run_ttfa(args) -> dict:
         "detail": {
             "p95_ms": round(p95, 1),
             "runs": args.ttfa_runs,
-            "first_chunk_frames": 3,
+            "run_ms": [round(x, 1) for x in lat],  # tail diagnosis
+            "first_chunk_frames": 1,
+            "steady_chunk_frames": 3,
             "prefill_text_tokens": 12,
             "codec": args.codec,
             "device": str(jax.devices()[0]),
@@ -997,8 +1018,12 @@ def run_sweep(args):
         ("throughput", ["--size", "all", "--direct"], 2700),
         ("local_family", ["--family", "local", "--direct"], 1500),
         # rt-server runs BOTH utterance regimes (headline + short-utterance
-        # crossover) since round 4 — wider timeout
-        ("realtime_server", ["--rt-server", "--direct"], 2700),
+        # crossover) since round 4 — wider timeout. The headline regime is
+        # 100-200-frame conversations (--steps 200, the documented r3
+        # configuration); without the explicit flag the sweep default of 64
+        # made the "headline" 32-64 frames — the crossover regime itself
+        ("realtime_server", ["--rt-server", "--direct", "--steps", "200"],
+         2700),
         ("batch_server", ["--batch-server", "--paged", "--direct"], 2700),
         ("ttfa", ["--ttfa", "--direct"], 1500),
     ]

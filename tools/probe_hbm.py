@@ -82,12 +82,18 @@ def main(argv=None):
     a = jnp.ones((B, D), jnp.bfloat16)
 
     def dots(acts, ws):
+        # chained like tools/probe_w8a8.py (each layer feeds the next, only
+        # one column kept per layer) so the measured traffic is the weight
+        # stream itself — an unchained stack+sum adds ~100 MB of f32
+        # output traffic and lets XLA schedule the dots independently
         h = acts
         outs = []
         for i in range(L):
-            outs.append(jnp.einsum("bd,df->bf", h, ws[i].astype(jnp.bfloat16),
-                                   preferred_element_type=jnp.float32))
-        return jnp.stack(outs).sum()
+            y = jnp.einsum("bd,df->bf", h, ws[i].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            outs.append(y[:, :1])
+            h = jnp.tanh(y[:, : acts.shape[1]]).astype(jnp.bfloat16)
+        return jnp.concatenate(outs, axis=1)
 
     t = time_program(jax.jit(dots), a, w8, iters=args.iters)
     report["dot_weight_stream_GBps"] = round(L * D * F / t / 1e9, 1)
