@@ -575,10 +575,12 @@ class DelayBatchServer:
             max_new_tokens=req.max_new_tokens - n,
             start_length=req.start_length + n))
 
-    def _collect(self) -> List[CompletedRequest]:
+    def _collect(self, stopped: Optional[np.ndarray] = None
+                 ) -> List[CompletedRequest]:
         """One transfer for the stop flags, then one batched transfer for the
         finished slots' token grids."""
-        stopped = np.asarray(jax.device_get(self.state.is_stopping))
+        if stopped is None:
+            stopped = np.asarray(jax.device_get(self.state.is_stopping))
         finished = [
             (slot, req) for slot, req in sorted(self._active.items())
             if stopped[slot] or self._step_host[slot] >= req.max_new_tokens
@@ -609,13 +611,69 @@ class DelayBatchServer:
                 self._free_slot_pages(slot)
         return done
 
-    def run(self, max_steps: int = 100000) -> List[CompletedRequest]:
-        """Drain queue + active slots; returns completions in finish order."""
+    def _snap_flags(self):
+        """On-device copy of the stop flags. The step program donates the
+        state, so a raw reference held across the next block would point at
+        a donated buffer; the copy survives donation, and fetching it later
+        overlaps the transfer with the next block's device execution."""
+        if "snap" not in self._jit:
+            self._jit["snap"] = jax.jit(lambda x: jnp.logical_or(x, False))
+        return self._jit["snap"](self.state.is_stopping)
+
+    def run(self, max_steps: int = 100000,
+            pipelined: bool = True) -> List[CompletedRequest]:
+        """Drain queue + active slots; returns completions in finish order.
+
+        ``pipelined`` hides each poll's host round trip behind device work:
+        the stop flags are snapshotted ON DEVICE at a poll boundary, the
+        next poll_every decode steps are enqueued, and only then is the
+        snapshot fetched — the transfer rides while the device decodes
+        ahead instead of idling out the tunnel RTT every poll. EOS
+        detection thereby lags up to one block (masked idle steps the
+        processor's im_end trim discards — the existing poll-slack
+        contract, doubled); budget completions come from host mirrors and
+        stay exact."""
         out: List[CompletedRequest] = []
-        for _ in range(max_steps):
-            out.extend(self.step())
-            if not self._active and not self._queue:
+        if not pipelined:
+            for _ in range(max_steps):
+                out.extend(self.step())
+                if not self._active and not self._queue:
+                    break
+            return out
+        pending = None  # (device snapshot, slot->request_id) awaiting resolve
+        steps = 0
+        while True:
+            did = 0
+            while did < self.poll_every and steps < max_steps:
+                if not (self._active or self._queue):
+                    break
+                if self._active and any(
+                        self._step_host[s] >= self._active[s].max_new_tokens
+                        for s in self._active):
+                    break  # budget hit: resolve now (host mirror is exact)
+                self.step(poll=False)
+                steps += 1
+                did += 1
+            if pending is not None:
+                flags_dev, snap_rids = pending
+                flags = np.asarray(jax.device_get(flags_dev))
+                # a slot freed+readmitted since the snapshot carries the OLD
+                # occupant's flag — only trust flags whose occupant is
+                # unchanged
+                stopped = np.zeros(self.slots, bool)
+                for slot, rid in snap_rids.items():
+                    if (slot in self._active
+                            and self._active[slot].request_id == rid):
+                        stopped[slot] = flags[slot]
+                out.extend(self._collect(stopped=stopped))
+                pending = None
+            if not (self._active or self._queue):
                 break
+            if steps >= max_steps and did == 0:
+                break
+            if self._active:
+                pending = (self._snap_flags(),
+                           {s: r.request_id for s, r in self._active.items()})
         return out
 
     def warmup(self, *, prompt_lens=(64,), attend_upto: Optional[int] = None):

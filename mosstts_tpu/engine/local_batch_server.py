@@ -229,8 +229,10 @@ class LocalBatchServer:
             )
         return self._collect() if poll else []
 
-    def _collect(self) -> List[CompletedLocal]:
-        finished_mask = ~np.asarray(jax.device_get(self.state.unfinished))
+    def _collect(self, finished_mask: Optional[np.ndarray] = None
+                 ) -> List[CompletedLocal]:
+        if finished_mask is None:
+            finished_mask = ~np.asarray(jax.device_get(self.state.unfinished))
         finished = [
             (slot, req) for slot, req in sorted(self._active.items())
             if finished_mask[slot]
@@ -267,12 +269,65 @@ class LocalBatchServer:
                 unfinished=self.state.unfinished.at[slot].set(False))
         return done
 
-    def run(self, max_steps: int = 100000) -> List[CompletedLocal]:
+    def _snap_flags(self):
+        """On-device copy of the run flags (the step donates the state, so a
+        raw reference would point at a donated buffer after the next step);
+        fetching the copy later overlaps the transfer with device work."""
+        if "snap" not in self._jit:
+            self._jit["snap"] = jax.jit(lambda x: jnp.logical_or(x, False))
+        return self._jit["snap"](self.state.unfinished)
+
+    def run(self, max_steps: int = 100000,
+            pipelined: bool = True) -> List[CompletedLocal]:
+        """Drain queue + active slots; returns completions in finish order.
+
+        ``pipelined`` hides each poll's host round trip behind device work
+        (snapshot the flags on device, enqueue the next block, then fetch
+        the snapshot while the device decodes ahead). EOS detection lags up
+        to one block (freeze-repeat frames the EOS trim discards — the
+        poll-slack contract, doubled); budget completions come from host
+        mirrors and stay exact."""
         done: List[CompletedLocal] = []
-        for _ in range(max_steps):
-            done.extend(self.step())
-            if not self._active and not self._queue:
+        if not pipelined:
+            for _ in range(max_steps):
+                done.extend(self.step())
+                if not self._active and not self._queue:
+                    break
+            return done
+        pending = None  # (device snapshot, slot->request_id) awaiting resolve
+        steps = 0
+        while True:
+            did = 0
+            while did < self.poll_every and steps < max_steps:
+                if not (self._active or self._queue):
+                    break
+                if self._active and any(
+                        self._step_host[s] >= self._active[s].max_new_tokens
+                        for s in self._active):
+                    break  # budget hit: resolve now (host mirror is exact)
+                self.step(poll=False)
+                steps += 1
+                did += 1
+            if pending is not None:
+                flags_dev, snap_rids = pending
+                unfinished = np.asarray(jax.device_get(flags_dev))
+                # a slot freed+readmitted since the snapshot carries the OLD
+                # occupant's flag — only trust flags whose occupant is
+                # unchanged
+                finished = np.zeros(self.slots, bool)
+                for slot, rid in snap_rids.items():
+                    if (slot in self._active
+                            and self._active[slot].request_id == rid):
+                        finished[slot] = not unfinished[slot]
+                done.extend(self._collect(finished_mask=finished))
+                pending = None
+            if not (self._active or self._queue):
                 break
+            if steps >= max_steps and did == 0:
+                break
+            if self._active:
+                pending = (self._snap_flags(),
+                           {s: r.request_id for s, r in self._active.items()})
         return done
 
     @property

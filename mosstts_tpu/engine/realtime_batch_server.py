@@ -398,8 +398,10 @@ class RealtimeBatchServer:
             for slot, req in sorted(self._active.items())
         }
 
-    def _collect(self) -> List[CompletedStream]:
-        stopped = np.asarray(jax.device_get(self.state.is_stopping))
+    def _collect(self, stopped: Optional[np.ndarray] = None
+                 ) -> List[CompletedStream]:
+        if stopped is None:
+            stopped = np.asarray(jax.device_get(self.state.is_stopping))
         finished = [
             (slot, req) for slot, req in sorted(self._active.items())
             if stopped[slot] or self._step_host[slot] >= req.max_new_tokens
@@ -459,18 +461,74 @@ class RealtimeBatchServer:
             self._ub_host[active] += 1
         return self._collect()
 
-    def run(self, max_steps: int = 100000, block: int = 1) -> List[CompletedStream]:
+    def _snap_flags(self):
+        """On-device copy of the stop flags. The step program donates the
+        state, so a raw reference held across the next block would point at
+        a donated buffer; the copy survives donation, and fetching it later
+        overlaps the transfer with the next block's device execution."""
+        if "snap" not in self._jit:
+            self._jit["snap"] = jax.jit(lambda x: jnp.logical_or(x, False))
+        return self._jit["snap"](self.state.is_stopping)
+
+    def run(self, max_steps: int = 100000, block: int = 1,
+            pipelined: bool = True) -> List[CompletedStream]:
+        """Drain queue + active slots; returns completions in finish order.
+
+        ``pipelined`` (block=1 path) hides each poll's host round trip
+        behind device work: the stop flags are snapshotted ON DEVICE at a
+        poll boundary, the next poll_every decode steps are enqueued, and
+        only then is the snapshot fetched — the transfer rides while the
+        device is already decoding ahead, instead of the device idling out
+        the tunnel RTT (~30 ms here) every poll. EOS detection thereby lags
+        up to one block (those frames are frozen rows the history trim
+        discards — the existing poll-slack contract, doubled); completions
+        by token budget come from host mirrors and stay exact."""
         done: List[CompletedStream] = []
         steps = 0
-        while steps < max_steps:
-            if block > 1:
-                done.extend(self.step_block(block))
-                steps += block
-            else:
-                done.extend(self.step())
+        if block > 1 or not pipelined:
+            while steps < max_steps:
+                if block > 1:
+                    done.extend(self.step_block(block))
+                    steps += block
+                else:
+                    done.extend(self.step())
+                    steps += 1
+                if not self._active and not self._queue:
+                    break
+            return done
+        pending = None  # (device snapshot, slot->request_id) awaiting resolve
+        while True:
+            did = 0
+            while did < self.poll_every and steps < max_steps:
+                if not (self._active or self._queue):
+                    break
+                if self._active and any(
+                        self._step_host[s] >= self._active[s].max_new_tokens
+                        for s in self._active):
+                    break  # budget hit: resolve now (host mirror is exact)
+                self.step(poll=False)
                 steps += 1
-            if not self._active and not self._queue:
+                did += 1
+            if pending is not None:
+                flags_dev, snap_rids = pending
+                flags = np.asarray(jax.device_get(flags_dev))
+                # a slot freed+readmitted since the snapshot carries the OLD
+                # occupant's frozen flag — only trust flags whose occupant
+                # is unchanged
+                stopped = np.zeros(self.slots, bool)
+                for slot, rid in snap_rids.items():
+                    if (slot in self._active
+                            and self._active[slot].request_id == rid):
+                        stopped[slot] = flags[slot]
+                done.extend(self._collect(stopped=stopped))
+                pending = None
+            if not (self._active or self._queue):
                 break
+            if steps >= max_steps and did == 0:
+                break
+            if self._active:
+                pending = (self._snap_flags(),
+                           {s: r.request_id for s, r in self._active.items()})
         return done
 
     # ------------------------------------------------------------------

@@ -228,3 +228,35 @@ def test_linear_submit_rejects_overflow(setup):
         # so grow the prompt past the boundary instead
         big = np.tile(grid, (256 // grid.shape[0] + 1, 1))
         server.submit(big, max_new_tokens=64)
+
+
+def test_delay_server_pipelined_poll_matches_sequential(setup):
+    """run(pipelined=True) resolves stop flags one block late (hiding the
+    poll round trip behind device work). Token output per request must be
+    identical to the sequential poll; a slot freed + readmitted inside the
+    lag window must not inherit the old occupant's frozen flag."""
+    params, proc, _ = setup
+    grids = [_continuation_grid(proc, f"pipelined {i}", seed=40 + i)
+             for i in range(5)]
+    max_news = [8, 12, 7, 10, 9]
+
+    def run_mode(pipelined):
+        server = DelayBatchServer(
+            params, CFG, slots=2, cache_len=256, out_capacity=64,
+            prompt_bucket=32, dtype=jnp.float32, poll_every=3,
+            sampling=make_sampling(text_temperature=0.0,
+                                   audio_temperature=0.0),
+        )
+        rids = [server.submit(g, max_new_tokens=mn)
+                for g, mn in zip(grids, max_news)]
+        done = {c.request_id: c for c in server.run(max_steps=500,
+                                                    pipelined=pipelined)}
+        assert set(done) == set(rids)
+        return rids, done
+
+    rids, seq = run_mode(False)
+    _, pipe = run_mode(True)
+    for rid, mn in zip(rids, max_news):
+        a, b = seq[rid].tokens, pipe[rid].tokens
+        n = min(len(a), len(b))
+        np.testing.assert_array_equal(a[:n], b[:n], err_msg=f"request {rid}")

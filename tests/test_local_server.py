@@ -111,3 +111,30 @@ def test_local_server_submit_validation():
     with pytest.raises(ValueError):
         server.submit(np.zeros((120, CFG.channels), np.int64),
                       max_new_tokens=32)  # exceeds cache
+
+
+def test_local_server_pipelined_poll_matches_sequential():
+    """Pipelined (lagged) polling must reproduce the sequential poll's
+    per-request tokens; readmitted slots must not inherit stale flags."""
+    rng = np.random.default_rng(11)
+    params = init_local_params(jax.random.PRNGKey(11), CFG, dtype=jnp.float32)
+    grids = [_grid(rng, int(rng.integers(8, 24))) for _ in range(5)]
+    max_news = [6, 9, 5, 8, 7]
+
+    def run_mode(pipelined):
+        server = LocalBatchServer(
+            params, CFG, slots=2, cache_len=128, out_capacity=32,
+            prompt_bucket=BUCKET, dtype=jnp.float32, poll_every=3, **GREEDY)
+        rids = [server.submit(g, max_new_tokens=mn)
+                for g, mn in zip(grids, max_news)]
+        done = {c.request_id: c for c in server.run(max_steps=500,
+                                                    pipelined=pipelined)}
+        assert set(done) == set(rids)
+        return rids, done
+
+    rids, seq = run_mode(False)
+    _, pipe = run_mode(True)
+    for rid in rids:
+        a, b = seq[rid].tokens, pipe[rid].tokens
+        n = min(len(a), len(b))
+        np.testing.assert_array_equal(a[:n], b[:n], err_msg=f"request {rid}")

@@ -273,3 +273,34 @@ def test_realtime_server_sampled_padded_admission_deterministic():
     for i, (fa, fb) in enumerate(zip(a, b)):
         np.testing.assert_array_equal(fa, fb, err_msg=f"stream {i}")
         assert fa.shape[0] > 0
+
+
+def test_realtime_server_pipelined_poll_matches_sequential():
+    """run(pipelined=True) snapshots the stop flags on device and resolves
+    them one block late (hiding the poll's host round trip behind device
+    work). Per-request frames must be identical to the sequential poll —
+    only completion-detection timing may differ, and any extra lag frames
+    are post-EOS/post-budget slack the trim already discards."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(7), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    reqs = _requests(rng, 5)
+    max_news = [10, 14, 9, 12, 11]
+
+    def run_mode(pipelined):
+        server = _make_server(params, poll_every=3)
+        rids = [server.submit(g, t, max_new_tokens=mn)
+                for (g, t), mn in zip(reqs, max_news)]
+        done = {c.request_id: c for c in server.run(max_steps=500,
+                                                    pipelined=pipelined)}
+        assert set(done) == set(rids)
+        return rids, done
+
+    rids, seq = run_mode(False)
+    _, pipe = run_mode(True)
+    for rid, mn in zip(rids, max_news):
+        a, b = seq[rid].frames, pipe[rid].frames
+        n = min(len(a), len(b), mn)
+        assert n >= mn - 1, (len(a), len(b), mn)
+        np.testing.assert_array_equal(a[:n], b[:n], err_msg=f"request {rid}")
