@@ -1,19 +1,25 @@
 """Pin the chip's ACHIEVABLE HBM bandwidth independently of matmuls.
 
-docs/PROFILE.md measured a ~280 GB/s operand-stream ceiling for every dot
-formulation (XLA bf16, int8-into-dot, Pallas) on this v5e — 34% of the
-nominal 819 GB/s. This probe separates "that is what dots can stream" from
-"that is all the HBM can do" by timing pure-bandwidth programs:
+MEASUREMENT LESSON (this probe's own history): every timing window on this
+tunnel-attached part carries a FIXED ~30-45 ms overhead (dispatch queue +
+sync round trip). Averaging a window over N iterations leaves overhead/N
+per iteration — at 8 iterations of a 3-7 ms program that's a 2-3x
+understatement of bandwidth. Round 3's "~280 GB/s dot ceiling"
+(docs/PROFILE.md) was exactly this artifact. This probe therefore reports
+MARGINAL rates: time a window of ``lo`` iterations and one of ``hi``
+iterations of the same compiled program and divide the difference —
+the fixed overhead cancels.
 
-  copy     y = x + 1          (reads N bytes, writes N bytes)
-  reduce   s = sum(x)         (reads N bytes, writes ~0)
-  gather   y = x[idx]         (row gather, KV-cache-shaped traffic)
-  dot      the 16-GEMM int8 weight stream from probe_w8a8 for reference
+Marginal results on this v5e (2 GB arrays, lo=10/hi=40):
 
-If copy/reduce also land near ~300 GB/s, the ceiling is a property of
-this part (tunnel-attached v5e) and the 8B decode step's 1.05x-of-
-achievable argument stands. If they reach 600+, a hand-pipelined Pallas
-weight-streaming kernel is the next 8B lever.
+  reduce   ~826 GB/s read      (the nominal 819 GB/s HBM figure)
+  copy     ~648 GB/s read+write
+  dot      ~609 GB/s int8 weight stream (48x 4096->12288 GEMM walk, B=128)
+  gather   row-shuffle gather, KV-cache-shaped traffic
+
+So the chip streams at spec, XLA's dot reaches ~75% of pure-read, and the
+right roofline floor for the 8B decode step's 7.7 GB weight stream is
+~13 ms — NOT the ~27 ms the contaminated 280 GB/s figure implied.
 
 Run (TPU, solo): python tools/probe_hbm.py [--gb 2]
 """
@@ -37,21 +43,30 @@ def _sync(x):
     jax.device_get(jnp.sum(x) if hasattr(x, "shape") and x.size > 16 else x)
 
 
-def time_program(fn, *args, iters=8):
-    out = fn(*args)
-    _sync(out)  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
+def marginal_time(fn, *args, lo=10, hi=40, warmup=3):
+    """Marginal seconds/iteration between a lo- and hi-iteration window of
+    the same program: the fixed window overhead (tunnel RTT + dispatch
+    latency, ~30-45 ms here) cancels in the difference."""
+    for _ in range(warmup):
         out = fn(*args)
     _sync(out)
-    return (time.perf_counter() - t0) / iters
+
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    return (window(hi) - window(lo)) / (hi - lo)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--gb", type=float, default=2.0,
                     help="array size in GB (bf16 elements)")
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--lo", type=int, default=10)
+    ap.add_argument("--hi", type=int, default=40)
     args = ap.parse_args(argv)
 
     n = int(args.gb * (1 << 30) / 2)  # bf16 elements
@@ -60,32 +75,30 @@ def main(argv=None):
     x = jnp.ones((rows, cols), jnp.bfloat16)
     nbytes = x.size * 2
     report = {"array_gb": round(nbytes / (1 << 30), 2),
-              "device": str(jax.devices()[0])}
+              "device": str(jax.devices()[0]),
+              "timing": f"marginal over {args.lo}->{args.hi} iters"}
 
     copy = jax.jit(lambda a: a + 1)
-    t = time_program(copy, x, iters=args.iters)
+    t = marginal_time(copy, x, lo=args.lo, hi=args.hi)
     report["copy_GBps"] = round(2 * nbytes / t / 1e9, 1)  # read + write
 
     red = jax.jit(lambda a: jnp.sum(a, dtype=jnp.float32))
-    t = time_program(red, x, iters=args.iters)
+    t = marginal_time(red, x, lo=args.lo, hi=args.hi)
     report["reduce_GBps"] = round(nbytes / t / 1e9, 1)
 
     idx = jnp.asarray(np.random.default_rng(0).permutation(rows), jnp.int32)
     gather = jax.jit(lambda a, i: jnp.take(a, i, axis=0))
-    t = time_program(gather, x, idx, iters=args.iters)
+    t = marginal_time(gather, x, idx, lo=args.lo, hi=args.hi)
     report["gather_GBps"] = round(2 * nbytes / t / 1e9, 1)
 
-    # the dot formulation PROFILE.md ships (int8 operand straight into the
-    # dot): 16 stacked 4096->12288 GEMMs at batch 128
-    L, D, F, B = 16, 4096, 12288, 128
+    # the serving dot formulation (int8 operand straight into the dot,
+    # scale folded after): a 48-layer 4096->12288 GEMM walk at batch 128,
+    # chained through tanh so XLA cannot reorder the weight stream
+    L, D, F, B = 48, 4096, 12288, 128
     w8 = jnp.ones((L, D, F), jnp.int8)
     a = jnp.ones((B, D), jnp.bfloat16)
 
     def dots(acts, ws):
-        # chained like tools/probe_w8a8.py (each layer feeds the next, only
-        # one column kept per layer) so the measured traffic is the weight
-        # stream itself — an unchained stack+sum adds ~100 MB of f32
-        # output traffic and lets XLA schedule the dots independently
         h = acts
         outs = []
         for i in range(L):
@@ -95,7 +108,7 @@ def main(argv=None):
             h = jnp.tanh(y[:, : acts.shape[1]]).astype(jnp.bfloat16)
         return jnp.concatenate(outs, axis=1)
 
-    t = time_program(jax.jit(dots), a, w8, iters=args.iters)
+    t = marginal_time(jax.jit(dots), a, w8, lo=args.lo, hi=args.hi)
     report["dot_weight_stream_GBps"] = round(L * D * F / t / 1e9, 1)
 
     print(json.dumps(report), flush=True)

@@ -110,46 +110,66 @@ def main():
     report["full_step_ms"] = round(ms, 3)
     dump()
 
-    log("timing backbone only...")
+    log("timing backbone only (donated, in-place)...")
+    # IMPORTANT: pieces that update the KV cache MUST donate the state and
+    # chain it, exactly like the real step program — a non-donated
+    # update_slice forces XLA to copy the multi-GB cache every call, which
+    # inflated the 8B backbone reading by ~6-7 ms before this was fixed
 
-    @jax.jit
-    def backbone_only(params, st):
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def backbone_step(params, st):
         embeds = delay_embed(params, cfg, st.cur_ids)
-        hidden, _ = qwen3_forward(
+        hidden, cache = qwen3_forward(
             params["backbone"], lc, embeds,
             positions=st.pos[:, None].astype(jnp.int32), kv_valid=st.kv_valid,
             cache=st.cache, cache_offset=st.pos, attend_len=cache_len)
-        return hidden
+        # advance pos mod the cache so successive writes move like a real
+        # decode (staying < cache_len keeps the attend bucket fixed); fold a
+        # scalar of the hidden in so the last layer's output is not DCE'd
+        digest = (hidden[:, -1, 0] * 0).astype(jnp.int32)
+        return st._replace(cache=cache,
+                           pos=jnp.minimum(st.pos + 1, cache_len - 2) + digest)
 
-    ms, _ = timeit_pipelined(
-        lambda: backbone_only(engine.params, state), iters=args.iters)
+    ms, state = timeit_pipelined(
+        lambda s: backbone_step(engine.params, s), iters=args.iters,
+        chain=True, state=state, sync=lambda s: s.pos)
     report["backbone_ms"] = round(ms, 3)
     dump()
 
-    log("timing forward (backbone+heads)...")
+    log("timing forward (backbone+heads, donated)...")
 
-    @jax.jit
-    def fwd_only(params, st):
-        t, a, _ = delay_forward(
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def fwd_step(params, st):
+        t, a, cache = delay_forward(
             params, cfg, st.cur_ids,
             positions=st.pos[:, None].astype(jnp.int32), kv_valid=st.kv_valid,
             cache=st.cache, cache_offset=st.pos, attend_len=cache_len)
-        return t[:, -1], a[:, -1]
+        return (st._replace(cache=cache,
+                            pos=jnp.minimum(st.pos + 1, cache_len - 2)),
+                t[:, -1], a[:, -1])
 
-    ms, (t_logits, a_logits) = timeit_pipelined(
-        lambda: fwd_only(engine.params, state), iters=args.iters)
+    def fwd_chain(pack):
+        st, _t, _a = pack
+        return fwd_step(engine.params, st)
+
+    _st, t_logits, a_logits = fwd_step(engine.params, state)
+    ms, (state, t_logits, a_logits) = timeit_pipelined(
+        fwd_chain, iters=args.iters, chain=True,
+        state=(_st, t_logits, a_logits), sync=lambda p: p[0].pos)
     report["forward_ms"] = round(ms, 3)
     dump()
 
-    log("timing sampling tail...")
+    log("timing sampling tail (donated)...")
 
-    @jax.jit
-    def tail_only(st, tl, al):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def tail_step(st, tl, al):
         return _delay_sample_and_update(st, cfg, sampling, 50, 25, tl, al)
 
-    ms, _ = timeit_pipelined(
-        lambda: tail_only(state, t_logits, a_logits), iters=args.iters,
-        sync=lambda s: s.is_stopping)
+    ms, state = timeit_pipelined(
+        lambda s: tail_step(s, t_logits, a_logits), iters=args.iters,
+        chain=True, state=state, sync=lambda s: s.is_stopping)
     report["sample_tail_ms"] = round(ms, 3)
     dump()
 
@@ -173,7 +193,16 @@ def main():
     # 2048 would need a 15 GB cache at 1.7B/batch-64; free prior states as
     # we grow so 1024 fits.
     sweep = {}
+    kv_itemsize = 1 if args.kv_int8 else 2
+    param_gb = 9.3 if args.size == "8b" else 2.6
     for attend in (256, 512, 1024):
+        kv_gb = (lc.num_hidden_layers * B * attend * lc.num_key_value_heads
+                 * lc.head_dim * 2 * kv_itemsize) / 2**30
+        if param_gb + kv_gb > 13.0:
+            log(f"attend {attend}: skipped (params {param_gb} GB + KV "
+                f"{kv_gb:.1f} GB exceeds the v5e HBM budget)")
+            sweep[str(attend)] = None
+            continue
         if attend > cache_len:
             del state
             gc.collect()
@@ -184,27 +213,38 @@ def main():
         else:
             cl2 = cache_len
 
-        @jax.jit
-        def bb(params, st, attend=min(attend, cl2)):
+        @functools.partial(jax.jit, donate_argnums=(1,),
+                           static_argnames=("attend",))
+        def bb(params, st, attend):
+            # donated + chained like the real step (a non-donated cache
+            # update would copy the whole multi-GB cache per call)
             embeds = delay_embed(params, cfg, st.cur_ids)
-            hidden, _ = qwen3_forward(
+            hidden, cache = qwen3_forward(
                 params["backbone"], lc, embeds,
                 positions=st.pos[:, None].astype(jnp.int32), kv_valid=st.kv_valid,
                 cache=st.cache, cache_offset=st.pos, attend_len=attend)
-            return hidden
+            digest = (hidden[:, -1, 0] * 0).astype(jnp.int32)
+            return st._replace(
+                cache=cache,
+                pos=jnp.minimum(st.pos + 1, cl2 - 2) + digest)
 
-        ms, _ = timeit_pipelined(lambda: bb(engine.params, state),
-                                 iters=args.iters)
+        ms, state = timeit_pipelined(
+            lambda s, a=min(attend, cl2): bb(engine.params, s, attend=a),
+            iters=args.iters, chain=True, state=state, sync=lambda s: s.pos)
         sweep[str(attend)] = round(ms, 3)
         dump()
     report["backbone_attend_sweep_ms"] = sweep
 
-    kv_bytes = {a: lc.num_hidden_layers * B * int(a) * lc.num_key_value_heads
-                * lc.head_dim * 2 * 2 for a in (256, 1024)}
-    dt_ms = sweep["1024"] - sweep["256"]
-    db = kv_bytes[1024] - kv_bytes[256]
-    if dt_ms > 0:
-        report["kv_slope_implied_GBps"] = round(db / (dt_ms / 1000) / 1e9, 1)
+    pts = [a for a in (256, 512, 1024) if sweep.get(str(a))]
+    if len(pts) >= 2:
+        a0, a1 = pts[0], pts[-1]
+        kv_bytes = {a: lc.num_hidden_layers * B * int(a)
+                    * lc.num_key_value_heads * lc.head_dim * 2 * kv_itemsize
+                    for a in (a0, a1)}
+        dt_ms = sweep[str(a1)] - sweep[str(a0)]
+        db = kv_bytes[a1] - kv_bytes[a0]
+        if dt_ms > 0:
+            report["kv_slope_implied_GBps"] = round(db / (dt_ms / 1000) / 1e9, 1)
 
     print(json.dumps(report, indent=2))
 
