@@ -563,16 +563,28 @@ def delay_decode_step(
     *, top_k_text: int = 50, top_k_audio: int = 25,
     attend_len: Optional[int] = None,
     hidden_out_layers: Optional[tuple] = None,
+    uniform_slots: bool = False,
 ) -> DelayGenState:
     """Forward the pending frame, then run the state machine once.
     ``attend_len`` (static bucket) caps how much of the cache the attention
-    streams from HBM."""
+    streams from HBM.
+
+    ``uniform_slots`` (static): pass when every row's cache cursor is
+    provably equal — true for the solo engine, whose prefill left-pads the
+    batch to one length and whose pos advances unconditionally (+1 for all
+    rows, stopped or not). The KV write then lowers to a
+    dynamic_update_slice instead of a per-row scatter; the scatter costs
+    7.7 ms/step on the 8B batch-128 config (measured, tools/
+    probe_step_pieces.py era) because TPU scatter is ~6x slower than the
+    sliced write for the same bytes. Continuous-batching servers admit
+    rows mid-flight at their own cursors and must keep the default."""
     B = state.cur_ids.shape[0]
     positions = state.pos[:, None].astype(jnp.int32)
     text_logits, audio_logits, cache = delay_forward(
         params, cfg, state.cur_ids,
         positions=positions, kv_valid=state.kv_valid,
-        cache=state.cache, cache_offset=state.pos,
+        cache=state.cache,
+        cache_offset=state.pos[0] if uniform_slots else state.pos,
         attend_len=attend_len,
         hidden_out_layers=hidden_out_layers,
     )
@@ -649,6 +661,7 @@ def delay_generate_on_device(
     *, max_new_tokens: int, top_k_text: int = 50, top_k_audio: int = 25,
     attend_len: Optional[int] = None,
     hidden_out_layers: Optional[tuple] = None,
+    uniform_slots: bool = False,
 ) -> DelayGenState:
     """Decode segment as one ``lax.while_loop`` program — zero host
     round-trips (the TPU equivalent of the reference's per-step python loop
@@ -664,6 +677,7 @@ def delay_generate_on_device(
             top_k_text=top_k_text, top_k_audio=top_k_audio,
             attend_len=attend_len,
             hidden_out_layers=hidden_out_layers,
+            uniform_slots=uniform_slots,
         )
 
     return jax.lax.while_loop(cond, body, state)

@@ -349,7 +349,11 @@ def local_frame_step(
         cache_offset = state.pos
     else:
         positions = jnp.broadcast_to(state.pos[None, None], (B, 1)).astype(jnp.int32)
-        cache_offset = jnp.full((B,), state.pos, jnp.int32)  # scatter path
+        # scalar offset -> sliced KV write. An earlier round recorded the
+        # per-row scatter as faster, but that was the contaminated fixed-
+        # overhead timing (CLAUDE.md): marginal-rate A/B shows the scatter
+        # costs several ms/step at serving batches (7.7 ms at 8B/128)
+        cache_offset = state.pos
     hidden, cache = qwen3_forward(
         params["backbone"], lc, embeds,
         positions=positions, kv_valid=state.kv_valid,

@@ -296,8 +296,12 @@ def realtime_prefill_step(
         offset = state.cur_len
         positions = (offset + jnp.arange(T, dtype=jnp.int32))[None].repeat(B, axis=0)
         kv_valid = jax.lax.dynamic_update_slice(state.kv_valid, row_valid, (0, offset))
-        # single-token steps take the per-row scatter write path (measurably
-        # faster than dynamic_update_slice inside the layer scan)
+        # single-token steps take the per-row scatter write path. This is
+        # SHAPE-DEPENDENT, re-measured 2026-08 with marginal timing: at the
+        # realtime frame shape (B=8, 28 layers, fused with the depth scan)
+        # the sliced write REGRESSED the frame 19.5 -> 40.9 ms wall, while
+        # the delay/local engines at batch 64-128 win 7-44% from the slice
+        # (models/delay.py uniform_slots). Keep the scatter here.
         cache_offset = jnp.full((B,), offset, jnp.int32) if T == 1 else offset
     embeds = realtime_embed(params, cfg, input_ids)
     hidden, cache = qwen3_forward(
