@@ -143,6 +143,11 @@ def run_size(size: str, args) -> dict:
     n_params = sum(
         x.size for x in jax.tree_util.tree_leaves(engine.params)
         if x.dtype != jnp.float32 or x.ndim > 1)  # scales excluded
+    # the embedding tables are gather-only in the decode step (jnp.take in
+    # delay_embed) — counting them as matmul FLOPs would overstate mfu and
+    # compute_floor by ~9% at 8B
+    n_params -= (engine.params["backbone"]["embed"].size
+                 + engine.params["audio_emb"].size)
     lc = engine.config.language_config
     kv_elem_bytes = 1 if kv_int8 else 2
     attend_mid = args.prompt + args.warmup + args.steps // 2
@@ -1031,9 +1036,16 @@ def run_sweep(args):
         log(f"sweep: running section '{name}' (timeout {tmo}s)")
         t0 = time.perf_counter()
         res, err = _run_section(argv + passthru, tmo)
+        # a section that died with a TPU exception still prints an error
+        # JSON and exits 0 (the in-process handler) — that is a failure for
+        # reprobe purposes too, or the next section launches straight into
+        # a possibly-wedged tunnel
+        if err is None and isinstance(res, dict) and res.get("error"):
+            err = str(res["error"])
         if err:
             log(f"sweep: section '{name}' FAILED: {err}")
-            detail[name] = {"error": err}
+            detail[name] = dict(res) if isinstance(res, dict) else {}
+            detail[name]["error"] = err
             # the failed section may have wedged the tunnel — recover
             # before spending the next section's budget on a stale claim
             healthy, detail[name]["reprobe"] = ensure_backend_healthy()

@@ -374,11 +374,29 @@ class RealtimeBatchServer:
             frames = frames[: int(eos[0])]
         return frames
 
+    def _hist_bucket(self, n: int) -> int:
+        """Exponential frame buckets (64, 128, 256, ...) bound the
+        hist_slice program count to log2(max_frames/64)+1 — a linear
+        64-frame bucket compiled a new program every 64 frames, a
+        seconds-long remote compile landing mid-serve under the pool lock
+        (warmup() walks exactly these buckets)."""
+        nb = 64
+        while nb < n:
+            nb *= 2
+        return min(nb, self.max_frames)
+
+    def _hist_slice_fn(self, nb: int):
+        key = ("hist_slice", nb)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda h, nb=nb: jax.lax.slice_in_dim(h, 0, nb, axis=1))
+        return self._jit[key]
+
     def partial_frames(self) -> Dict[int, np.ndarray]:
         """Incremental fetch for STREAMING consumers: request_id ->
         EOS-trimmed frames generated so far, for every in-flight
         conversation, via ONE transfer. The transfer is sliced on device
-        to a 64-frame bucket over the furthest active cursor (host mirror,
+        to a frame bucket over the furthest active cursor (host mirror,
         no device read) — early in conversations this is ~32x less data
         than the full history buffer, and this fetch is the pool loop's
         only recurring host sync."""
@@ -387,16 +405,36 @@ class RealtimeBatchServer:
         active = sorted(self._active)
         n = int(max(min(self._step_host[s], self._active[s].max_new_tokens,
                         self.max_frames) for s in active))
-        nb = min(_round_up(max(n, 1), 64), self.max_frames)
-        key = ("hist_slice", nb)
-        if key not in self._jit:
-            self._jit[key] = jax.jit(
-                lambda h, nb=nb: jax.lax.slice_in_dim(h, 0, nb, axis=1))
-        hist = np.asarray(jax.device_get(self._jit[key](self.state.history)))
+        nb = self._hist_bucket(max(n, 1))
+        hist = np.asarray(jax.device_get(
+            self._hist_slice_fn(nb)(self.state.history)))
         return {
             req.request_id: self._trim(hist, slot, req.max_new_tokens).copy()
             for slot, req in sorted(self._active.items())
         }
+
+    def cancel(self, request_id: int) -> bool:
+        """Abort one conversation (client disconnect): a queued request is
+        dropped; an active one frees its slot immediately — the row is
+        frozen exactly like a completed stream (is_stopping set, cursor
+        mirror parked), its frames are simply never collected. Without
+        this, an abandoned stream keeps decoding to its max_new_tokens
+        budget while live streams queue behind dead work. Returns True if
+        the request was found in-flight."""
+        for i, req in enumerate(self._queue):
+            if req.request_id == request_id:
+                del self._queue[i]
+                return True
+        slot = next((s for s, req in self._active.items()
+                     if req.request_id == request_id), None)
+        if slot is None:
+            return False
+        del self._active[slot]
+        del self._text_rest[slot]
+        self._step_host[slot] = 1 << 30
+        self.state = self.state._replace(
+            is_stopping=self.state.is_stopping.at[slot].set(True))
+        return True
 
     def _collect(self, stopped: Optional[np.ndarray] = None
                  ) -> List[CompletedStream]:
@@ -578,6 +616,16 @@ class RealtimeBatchServer:
             if a >= min(upto, self.cache_len):
                 break
             a = attend_bucket(a + 1, max(self.prompt_bucket, 128), self.cache_len)
+        # the incremental-history slice programs (streaming pool's only
+        # recurring fetch): compile every exponential bucket now, or the
+        # first fetch past each boundary stalls the pool loop mid-serve
+        nb = 64
+        while True:
+            nb = min(nb, self.max_frames)
+            jax.device_get(self._hist_slice_fn(nb)(self.state.history))
+            if nb >= self.max_frames:
+                break
+            nb *= 2
         # reset to a clean idle pool (warmup dirtied slot 0 and cursors)
         jax.device_get(self.state.is_stopping)
         self.state = init_realtime_srv_state(

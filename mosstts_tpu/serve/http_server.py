@@ -33,7 +33,11 @@ from ..engine.metrics import SynthesisMetrics
 from ..utils.native import float_to_pcm16
 
 _STATE = {"last_metrics": None, "lock": threading.Lock(), "args": None,
-          "token_cache": None, "pool": None, "rt_pool": None}
+          "token_cache": None, "pool": None, "rt_pool": None,
+          # pool construction/warmup runs minutes of remote compiles on
+          # this platform; it holds build_lock, NOT the global lock, so
+          # /metrics and _record() on concurrent threads never block on it
+          "build_lock": threading.Lock()}
 
 
 def _token_cache():
@@ -126,19 +130,28 @@ class Handler(BaseHTTPRequestHandler):
         backend = load_delay_backend(a.model_path, a.codec_path)
         if getattr(a, "pool_slots", 0):
             with _STATE["lock"]:
-                if _STATE.get("pool") is None:
-                    from .pool import DelayServingPool
+                pool = _STATE.get("pool")
+            if pool is None:
+                with _STATE["build_lock"]:
+                    with _STATE["lock"]:
+                        pool = _STATE.get("pool")
+                    if pool is None:
+                        from .pool import DelayServingPool
 
-                    # size for the /tts default max_new_tokens=2000: the
-                    # server clamps each request to out_capacity and the
-                    # cache must hold prompt + generation + poll slack
-                    _STATE["pool"] = DelayServingPool(
-                        backend.engine.params, backend.engine.config,
-                        slots=a.pool_slots, dtype=backend.engine.dtype,
-                        kv_quant=getattr(backend.engine, "kv_quant", False),
-                        out_capacity=2048, cache_len=4096,
-                    )
-                backend.pool = _STATE["pool"]
+                        # size for the /tts default max_new_tokens=2000:
+                        # the server clamps each request to out_capacity
+                        # and the cache must hold prompt + generation +
+                        # poll slack
+                        pool = DelayServingPool(
+                            backend.engine.params, backend.engine.config,
+                            slots=a.pool_slots, dtype=backend.engine.dtype,
+                            kv_quant=getattr(backend.engine, "kv_quant",
+                                             False),
+                            out_capacity=2048, cache_len=4096,
+                        )
+                        with _STATE["lock"]:
+                            _STATE["pool"] = pool
+            backend.pool = pool
         return backend
 
     def _tts(self, body):
@@ -208,7 +221,13 @@ class Handler(BaseHTTPRequestHandler):
         if not getattr(a, "rt_pool_slots", 0):
             return None
         with _STATE["lock"]:
-            if _STATE.get("rt_pool") is None:
+            pool = _STATE.get("rt_pool")
+        if pool is not None:
+            return pool
+        with _STATE["build_lock"]:
+            with _STATE["lock"]:
+                pool = _STATE.get("rt_pool")
+            if pool is None:
                 from .pool import RealtimeServingPool
 
                 pool = RealtimeServingPool(
@@ -218,8 +237,37 @@ class Handler(BaseHTTPRequestHandler):
                 # request pays once) — a remote compile landing inside a
                 # live stream stalls every conversation for minutes
                 pool.warmup(prompt_lens=(32, 64), attend_upto=512)
-                _STATE["rt_pool"] = pool
-            return _STATE["rt_pool"]
+                with _STATE["lock"]:
+                    _STATE["rt_pool"] = pool
+        return pool
+
+    # ---- shared chunked-PCM16 plumbing (solo + pooled /stream) --------
+    def _begin_chunked(self, sample_rate: int, extra=None):
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.send_header("X-Sample-Rate", str(sample_rate))
+        for k, v in (extra or {}).items():
+            self.send_header(k, str(v))
+        self.end_headers()
+
+    def _chunk_emitter(self, m: SynthesisMetrics):
+        """One emit() for both stream paths: PCM16 conversion + live
+        TTFA/RTF riding as chunked-encoding chunk extensions
+        (``<size>;ttfa=..;rtf=..`` — standards-compliant, ignored by plain
+        clients, parseable by ours)."""
+
+        def emit(chunk: np.ndarray):
+            pcm = float_to_pcm16(np.nan_to_num(chunk)).tobytes()
+            m.add_audio(chunk.size)
+            ttfa = m.ttfa if m.ttfa is not None else 0.0
+            rtf = m.rtf if m.rtf is not None else 0.0
+            ext = f";ttfa={ttfa * 1000:.0f}ms;rtf={rtf:.2f}"
+            self.wfile.write(f"{len(pcm):X}{ext}\r\n".encode())
+            self.wfile.write(pcm)
+            self.wfile.write(b"\r\n")
+
+        return emit
 
     def _stream(self, body):
         """Chunked PCM16 streaming over the realtime path.
@@ -267,21 +315,8 @@ class Handler(BaseHTTPRequestHandler):
         bridge = RealtimeTextStreamBridge(session, decoder)
         m = SynthesisMetrics(sample_rate=codec.sampling_rate)
 
-        self.send_response(200)
-        self.send_header("Content-Type", "application/octet-stream")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.send_header("X-Sample-Rate", str(codec.sampling_rate))
-        self.end_headers()
-
-        def emit(chunk: np.ndarray):
-            pcm = float_to_pcm16(np.nan_to_num(chunk)).tobytes()
-            m.add_audio(chunk.size)
-            ttfa = m.ttfa if m.ttfa is not None else 0.0
-            rtf = m.rtf if m.rtf is not None else 0.0
-            ext = f";ttfa={ttfa * 1000:.0f}ms;rtf={rtf:.2f}"
-            self.wfile.write(f"{len(pcm):X}{ext}\r\n".encode())
-            self.wfile.write(pcm)
-            self.wfile.write(b"\r\n")
+        self._begin_chunked(codec.sampling_rate)
+        emit = self._chunk_emitter(m)
 
         with codec.streaming(batch_size=1):
             chunks = bridge.stream_from_text_deltas([body["text"]])
@@ -302,8 +337,15 @@ class Handler(BaseHTTPRequestHandler):
         batching server, and frames arrive incrementally via
         partial_frames() — concurrent streams share batch slots instead of
         time-slicing the chip. The shared engine object is never mutated
-        (no per-request session state)."""
-        from ..engine.streaming import AudioStreamDecoder
+        (no per-request session state). Client-visible behavior matches
+        the solo path: prebuffer/backpressure honored, same chunk
+        extensions; a client disconnect CANCELS the pooled conversation
+        (frees its slot) instead of decoding dead work to the frame
+        budget."""
+        from ..engine.streaming import (
+            AudioStreamDecoder,
+            stream_with_prebuffer,
+        )
 
         # voice prompt: RVQ tokens directly, or a wav path through the
         # process-wide encode LRU (same as the solo path)
@@ -352,24 +394,10 @@ class Handler(BaseHTTPRequestHandler):
             first_chunk_frames=int(body.get("first_chunk_frames", 2)))
         m = SynthesisMetrics(sample_rate=codec.sampling_rate)
 
-        self.send_response(200)
-        self.send_header("Content-Type", "application/octet-stream")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.send_header("X-Sample-Rate", str(codec.sampling_rate))
-        self.send_header("X-Pooled", "1")
-        self.end_headers()
+        self._begin_chunked(codec.sampling_rate, {"X-Pooled": "1"})
+        emit = self._chunk_emitter(m)
 
-        def emit(chunk: np.ndarray):
-            pcm = float_to_pcm16(np.nan_to_num(chunk)).tobytes()
-            m.add_audio(chunk.size)
-            ttfa = m.ttfa if m.ttfa is not None else 0.0
-            rtf = m.rtf if m.rtf is not None else 0.0
-            ext = f";ttfa={ttfa * 1000:.0f}ms;rtf={rtf:.2f}"
-            self.wfile.write(f"{len(pcm):X}{ext}\r\n".encode())
-            self.wfile.write(pcm)
-            self.wfile.write(b"\r\n")
-
-        with codec.streaming(batch_size=1):
+        def wav_chunks():
             for block in handle.frames():
                 # EOS rows never reach here (the server trims at EOS);
                 # drop out-of-range rows individually (reference
@@ -382,12 +410,31 @@ class Handler(BaseHTTPRequestHandler):
                 clean = block[valid]
                 if len(clean):
                     decoder.push_tokens(clean)
-                    for wav in decoder.audio_chunks():
-                        emit(wav)
+                    yield from decoder.audio_chunks()
             tail = decoder.flush()
             if tail is not None:
-                emit(tail)
-        self.wfile.write(b"0\r\n\r\n")
+                yield tail
+
+        completed = False
+        try:
+            with codec.streaming(batch_size=1):
+                for wav in stream_with_prebuffer(
+                    wav_chunks(), codec.sampling_rate,
+                    prebuffer_seconds=float(body.get("prebuffer_seconds",
+                                                     0.0)),
+                    buffer_threshold_seconds=float(
+                        body.get("buffer_threshold_seconds", 0.0)),
+                ):
+                    emit(wav)
+            self.wfile.write(b"0\r\n\r\n")
+            completed = True
+        finally:
+            if not completed:
+                # client gone (BrokenPipe) or mid-stream error: free the
+                # slot NOW — otherwise the pool decodes this abandoned
+                # conversation to its max_frames budget while live streams
+                # queue behind it
+                pool.cancel(handle)
         self._record(m)
 
 

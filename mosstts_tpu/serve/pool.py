@@ -286,6 +286,17 @@ class RealtimeServingPool:
         self._wake.set()
         return handle
 
+    def cancel(self, handle: RealtimeStreamHandle) -> bool:
+        """Abort a pooled stream (client disconnected): frees the server
+        slot immediately instead of decoding the abandoned conversation to
+        its frame budget. Idempotent; safe against the conversation
+        completing concurrently."""
+        with self._lock:
+            found = self.server.cancel(handle.request_id)
+            if self._handles.pop(handle.request_id, None) is not None:
+                handle._q.put(None)  # release a consumer blocked in frames()
+        return found
+
     # ------------------------------------------------------------------
     def _ship(self, handle: RealtimeStreamHandle, frames: np.ndarray):
         if len(frames) > handle._emitted:

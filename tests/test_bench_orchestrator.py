@@ -60,3 +60,21 @@ def test_sweep_probes_and_reports_unavailable_backend():
     assert "error" in d and d["value"] == 0.0
     attempts = d["detail"]["probe"]
     assert len(attempts) == 2 and not any(a["ok"] for a in attempts)
+
+
+def test_sweep_reprobes_after_error_json_section():
+    """A section that prints an error JSON and exits 0 (the in-process
+    handler catching a TPU exception) must count as a FAILURE for tunnel-
+    recovery purposes: the sweep reprobes before the next section instead
+    of launching it into a possibly-wedged tunnel."""
+    p = _run(["--no-probe"],
+             env_extra={"JAX_PLATFORMS": "bogus9",
+                        "MOSSTTS_BENCH_IDLE_WAITS": "0,1",
+                        "MOSSTTS_BENCH_PROBE_TIMEOUT": "120"},
+             timeout=800)
+    assert p.returncode == 0, p.stderr[-800:]
+    d = _last_json(p.stdout)
+    thr = d["detail"]["throughput"]
+    assert "error" in thr
+    assert "reprobe" in thr, "error-JSON section must trigger the reprobe"
+    assert "reprobe_verdict" in thr  # tunnel still down -> sections skipped

@@ -304,3 +304,26 @@ def test_realtime_server_pipelined_poll_matches_sequential():
         n = min(len(a), len(b), mn)
         assert n >= mn - 1, (len(a), len(b), mn)
         np.testing.assert_array_equal(a[:n], b[:n], err_msg=f"request {rid}")
+
+
+def test_hist_buckets_exponential_and_warmed():
+    """partial_frames' on-device history slice must use EXPONENTIAL frame
+    buckets (bounded program count) and warmup() must precompile every
+    bucket — a linear 64-frame bucket compiled a new program every 64
+    frames, a seconds-long remote compile landing mid-serve under the
+    pool lock."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(0), CFG,
+                                  dtype=jnp.float32)
+    srv = _make_server(params, max_frames=256)
+    assert srv._hist_bucket(1) == 64
+    assert srv._hist_bucket(64) == 64
+    assert srv._hist_bucket(65) == 128
+    assert srv._hist_bucket(129) == 256
+    assert srv._hist_bucket(1000) == 256  # clamped to max_frames
+
+    srv.warmup(prompt_lens=(16,), attend_upto=128)
+    want = {("hist_slice", nb) for nb in (64, 128, 256)}
+    assert want <= set(srv._jit), sorted(k for k in srv._jit
+                                         if k[0] == "hist_slice")

@@ -281,3 +281,73 @@ def test_realtime_pool_concurrent_streams_match_solo():
         assert any(c > 1 for c in chunk_counts), chunk_counts
     finally:
         pool.close()
+
+
+def test_realtime_pool_cancel_frees_slot():
+    """A cancelled stream (HTTP client disconnect) releases its slot so a
+    queued conversation gets admitted, instead of the abandoned stream
+    decoding to its max_new_tokens budget."""
+    from mosstts_tpu.models.realtime import init_realtime_params, make_rt_sampling
+    from mosstts_tpu.processing.realtime_processor import RealtimeProcessor
+    from mosstts_tpu.processing.tokenizer import ByteFallbackTokenizer
+    from mosstts_tpu.serve.pool import RealtimeServingPool
+
+    cfg = _rt_cfg()
+    rvq = cfg.rvq
+    params = init_realtime_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    proc = RealtimeProcessor(ByteFallbackTokenizer(), channels=rvq)
+    rng = np.random.default_rng(0)
+    grid = proc.make_ensemble(rng.integers(0, 1024, (6, rvq)))
+    text = [int(t) for t in rng.integers(200, 5000, 16)]
+
+    pool = RealtimeServingPool(
+        params, cfg, slots=1, cache_len=640, max_frames=128, prompt_bucket=16,
+        dtype=jnp.float32, fetch_every=2,
+        sampling=make_rt_sampling(temperature=0.0, top_p=0.6,
+                                  repetition_penalty=1.1, do_sample=False))
+    try:
+        # a long conversation occupies the single slot...
+        long_h = pool.open_stream(grid, text, max_new_tokens=120)
+        it = long_h.frames(timeout=600)
+        next(it)  # in flight (at least one frame block arrived)
+        # ...a second conversation queues behind it
+        short_h = pool.open_stream(grid, text, max_new_tokens=6)
+
+        assert pool.cancel(long_h) is True
+        # cancelled consumer unblocks promptly (no error: truncated stream)
+        rest = list(it)
+        assert all(isinstance(b, np.ndarray) for b in rest)
+        # the queued stream is admitted into the freed slot and completes
+        short = short_h.result(timeout=600)
+        assert len(short) >= 5, len(short)
+        # idempotent / unknown rid
+        assert pool.cancel(long_h) is False
+    finally:
+        pool.close()
+
+
+def test_realtime_server_cancel_queued_and_unknown():
+    from mosstts_tpu.engine.realtime_batch_server import RealtimeBatchServer
+    from mosstts_tpu.models.realtime import init_realtime_params, make_rt_sampling
+    from mosstts_tpu.processing.realtime_processor import RealtimeProcessor
+    from mosstts_tpu.processing.tokenizer import ByteFallbackTokenizer
+
+    cfg = _rt_cfg()
+    params = init_realtime_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    proc = RealtimeProcessor(ByteFallbackTokenizer(), channels=cfg.rvq)
+    rng = np.random.default_rng(1)
+    grid = proc.make_ensemble(rng.integers(0, 1024, (6, cfg.rvq)))
+    text = [int(t) for t in rng.integers(200, 5000, 16)]
+
+    srv = RealtimeBatchServer(
+        params, cfg, slots=1, cache_len=640, max_frames=32, prompt_bucket=16,
+        dtype=jnp.float32,
+        sampling=make_rt_sampling(temperature=0.0, top_p=0.6,
+                                  repetition_penalty=1.1, do_sample=False))
+    r1 = srv.submit(grid, text, max_new_tokens=8)
+    r2 = srv.submit(grid, text, max_new_tokens=8)  # queued behind r1
+    assert srv.cancel(r2) is True          # still queued: dropped outright
+    assert srv.cancel(r2) is False         # already gone
+    assert srv.cancel(12345) is False      # unknown
+    done = srv.run(max_steps=200)
+    assert [c.request_id for c in done] == [r1]
