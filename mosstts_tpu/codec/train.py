@@ -59,6 +59,33 @@ def si_snr(est: np.ndarray, ref: np.ndarray, eps: float = 1e-8) -> float:
     return float(10.0 * np.log10((proj @ proj + eps) / (noise @ noise + eps)))
 
 
+def si_snr_shifted(est: np.ndarray, ref: np.ndarray,
+                   sample_rate: int = 24000, max_shift_ms: float = 5.0
+                   ) -> Tuple[float, int]:
+    """SI-SNR maximized over a small integer delay between est and ref.
+
+    Causal encoder/decoder stacks often reconstruct with a constant few-ms
+    lag that plain SI-SNR scores as catastrophic (tens of dB down) while
+    being perceptually irrelevant; the shift search separates "delayed"
+    from "wrong". Returns (best dB, shift in samples; positive = est lags
+    ref)."""
+    est = np.asarray(est, np.float64).reshape(-1)
+    ref = np.asarray(ref, np.float64).reshape(-1)
+    n = min(est.size, ref.size)
+    est, ref = est[:n], ref[:n]
+    m = max(1, int(max_shift_ms * sample_rate / 1000.0))
+    best_db, best_k = -np.inf, 0
+    for k in range(-m, m + 1):
+        if k >= 0:
+            e, r = est[k:], ref[: n - k]
+        else:
+            e, r = est[: n + k], ref[-k:]
+        db = si_snr(e, r)
+        if db > best_db:
+            best_db, best_k = db, k
+    return float(best_db), int(best_k)
+
+
 def mel_distance(est: np.ndarray, ref: np.ndarray, frame: int = 1024,
                  hop: int = 256) -> float:
     """Log-magnitude STFT L1 distance (lower is better)."""
@@ -262,9 +289,17 @@ class CodecTrainer:
         n = min(recon.shape[1], wav.shape[1])
         from .speech_synth import mcd_db
 
+        shifted = [si_snr_shifted(recon[b, :n], wav[b, :n],
+                                  self.cfg.sampling_rate)
+                   for b in range(wav.shape[0])]
         return {
             "si_snr_db": float(np.mean(
                 [si_snr(recon[b, :n], wav[b, :n]) for b in range(wav.shape[0])])),
+            # delay-tolerant variant (±5 ms search): causal stacks can
+            # reconstruct with a constant lag that plain SI-SNR scores as
+            # catastrophic while being perceptually irrelevant
+            "si_snr_shift_db": float(np.mean([d for d, _ in shifted])),
+            "shift_samples": float(np.median([k for _, k in shifted])),
             "mel_dist": float(np.mean(
                 [mel_distance(recon[b, :n], wav[b, :n]) for b in range(wav.shape[0])])),
             # ABX proxy: mel-cepstral distortion (phase-insensitive, dB)

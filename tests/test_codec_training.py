@@ -201,3 +201,20 @@ def test_trainer_evaluate_reports_mcd():
     m = trainer.evaluate(wav)
     assert set(m) >= {"si_snr_db", "mel_dist", "mcd_db"}
     assert np.isfinite(m["mcd_db"]) and m["mcd_db"] > 0
+
+
+def test_si_snr_shifted_recovers_constant_delay():
+    """A few-ms constant reconstruction delay (typical of causal codec
+    stacks) must not read as catastrophic: the shift-tolerant metric finds
+    the lag and recovers the score plain SI-SNR destroys."""
+    from mosstts_tpu.codec.train import si_snr, si_snr_shifted
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(24000)
+    k = 72  # 3 ms at 24 kHz
+    delayed = np.concatenate([np.zeros(k), x[:-k]])
+    assert si_snr(delayed, x) < 0
+    best, lag = si_snr_shifted(delayed, x, 24000, max_shift_ms=5.0)
+    assert lag == k and best > 40
+    best0, lag0 = si_snr_shifted(x, x, 24000)
+    assert lag0 == 0 and best0 > 40
