@@ -113,13 +113,47 @@ def si_snr_loss(est: jax.Array, ref: jax.Array, eps: float = 1e-8) -> jax.Array:
     return -jnp.mean(10.0 * jnp.log10(ratio + eps))
 
 
+def lag_align(est: jax.Array, ref: jax.Array, max_shift: int = 96,
+              hop: int = 8):
+    """Per-row best constant-lag alignment of ``est`` to ``ref``.
+
+    Causal codec stacks tend to settle on a small constant output delay;
+    waveform losses (L1, SI-SNR) then fight that delay for thousands of
+    steps instead of judging content. The lag is chosen per batch row by
+    SI-SNR over a static candidate set (every ``hop`` samples in
+    [-max_shift, max_shift]); the selection is stop-gradient (a hard
+    one-hot), so gradients flow only through the chosen alignment.
+    Returns (est_aligned, ref_center), both of static length
+    n - 2*max_shift."""
+    n = min(est.shape[-1], ref.shape[-1])
+    est, ref = est[..., :n], ref[..., :n]
+    ms = max_shift
+    lags = list(range(-ms, ms + 1, hop))
+    if lags[-1] != ms:
+        lags.append(ms)
+    ref_c = ref[..., ms: n - ms]
+    cands = jnp.stack([est[..., ms + k: n - ms + k] for k in lags])  # (L,B,T)
+    rz = ref_c - jnp.mean(ref_c, axis=-1, keepdims=True)
+    ez = cands - jnp.mean(cands, axis=-1, keepdims=True)
+    proj = (jnp.sum(ez * rz, axis=-1, keepdims=True)
+            / (jnp.sum(rz * rz, axis=-1, keepdims=True) + 1e-8)) * rz
+    noise = ez - proj
+    score = (jnp.sum(proj * proj, axis=-1)
+             / (jnp.sum(noise * noise, axis=-1) + 1e-8))  # (L, B)
+    idx = jax.lax.stop_gradient(jnp.argmax(score, axis=0))  # (B,)
+    est_a = jnp.take_along_axis(cands, idx[None, :, None], axis=0)[0]
+    return est_a, ref_c
+
+
 def codec_loss(params, cfg: CodecConfig, wav: jax.Array,
                num_quantizers: int = 8, commit_weight: float = 0.25,
                stft_weight: float = 1.0, l1_weight: float = 1.0,
-               snr_weight: float = 1.0):
+               snr_weight: float = 1.0, lag_tolerance: int = 0):
     recon, aux = codec_forward_train(params, cfg, wav, num_quantizers)
     target = wav[:, : recon.shape[1]].astype(jnp.float32)
     reconf = recon.astype(jnp.float32)
+    if lag_tolerance > 0:
+        reconf, target = lag_align(reconf, target, max_shift=lag_tolerance)
     l1 = jnp.mean(jnp.abs(reconf - target))
     spec = multiscale_stft_loss(target, reconf)
     neg_snr = si_snr_loss(reconf, target)

@@ -36,6 +36,7 @@ from .discriminator import (
 from .losses import (
     codec_forward_train,
     codec_loss,
+    lag_align,
     multiscale_stft_loss,
     si_snr_loss,
     stft_mag,
@@ -156,6 +157,7 @@ class CodecTrainer:
                  peak_lr: float = 3e-4, warmup_steps: int = 500,
                  total_steps: int = 100_000, dtype=jnp.float32,
                  snr_weight: float = 1.0,
+                 lag_tolerance: int = 0,
                  adversarial: bool = False,
                  adv_weight: float = 3.0, fm_weight: float = 3.0,
                  disc_lr: float = 3e-4, disc_channels: int = 32,
@@ -175,12 +177,13 @@ class CodecTrainer:
         self.adv_start = int(adv_start)
 
         nq, tx, sw = self.num_quantizers, self.tx, float(snr_weight)
+        lt = int(lag_tolerance)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def _step(params, opt_state, wav):
             (loss, aux), grads = jax.value_and_grad(
                 lambda p: codec_loss(p, cfg, wav, num_quantizers=nq,
-                                     snr_weight=sw),
+                                     snr_weight=sw, lag_tolerance=lt),
                 has_aux=True,
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -208,6 +211,9 @@ class CodecTrainer:
                     recon, q_aux = codec_forward_train(p, cfg, wav, nq)
                     target = wav[:, : recon.shape[1]].astype(jnp.float32)
                     reconf = recon.astype(jnp.float32)
+                    if lt > 0:
+                        reconf, target = lag_align(reconf, target,
+                                                   max_shift=lt)
                     l1 = jnp.mean(jnp.abs(reconf - target))
                     spec = multiscale_stft_loss(target, reconf)
                     neg_snr = si_snr_loss(reconf, target)
@@ -328,6 +334,10 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--n-q", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lag-tol", type=int, default=0,
+                    help="waveform-loss lag tolerance in samples (0 = "
+                         "strict alignment); lets L1/SI-SNR judge content "
+                         "instead of fighting a constant causal delay")
     ap.add_argument("--snr-weight", type=float, default=1.0,
                     help="weight of the differentiable -SI-SNR term (time "
                          "alignment; magnitude STFT alone is phase-blind)")
@@ -352,6 +362,7 @@ def main(argv=None):
     trainer = CodecTrainer(cfg, num_quantizers=args.n_q, peak_lr=args.lr,
                            warmup_steps=max(1, args.steps // 10),
                            total_steps=args.steps, snr_weight=args.snr_weight,
+                           lag_tolerance=args.lag_tol,
                            adversarial=args.adversarial,
                            adv_weight=args.adv_weight,
                            fm_weight=args.fm_weight, adv_start=args.adv_start)

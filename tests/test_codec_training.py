@@ -218,3 +218,45 @@ def test_si_snr_shifted_recovers_constant_delay():
     assert lag == k and best > 40
     best0, lag0 = si_snr_shifted(x, x, 24000)
     assert lag0 == 0 and best0 > 40
+
+
+def test_lag_align_selects_delay_and_keeps_gradients():
+    """lag_align must find a constant per-row delay (waveform losses then
+    judge content, not alignment) and stay differentiable through the
+    selected slice."""
+    import jax
+    import jax.numpy as jnp
+    from mosstts_tpu.codec.losses import lag_align, si_snr_loss
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal((2, 4000)).astype(np.float32)
+    est = np.zeros_like(ref)
+    est[0, 40:] = ref[0, :-40]   # row 0 delayed 40 samples
+    est[1, :-24] = ref[1, 24:]   # row 1 advanced 24 samples
+    ref_j, est_j = jnp.asarray(ref), jnp.asarray(est)
+
+    assert float(si_snr_loss(est_j, ref_j)) > 0  # misaligned: terrible
+    ea, rc = lag_align(est_j, ref_j, max_shift=48, hop=8)
+    assert ea.shape == rc.shape == (2, 4000 - 96)
+    assert float(si_snr_loss(ea, rc)) < -40  # aligned: near-perfect
+
+    g = jax.grad(lambda e: si_snr_loss(*lag_align(e, ref_j, max_shift=48,
+                                                  hop=8)))(est_j)
+    assert float(jnp.abs(g).sum()) > 0  # gradients flow through selection
+
+
+def test_codec_trainer_lag_tolerance_smoke():
+    from mosstts_tpu.codec.train import CodecTrainer, synthetic_audio_batch
+    from mosstts_tpu.core.config import CodecConfig
+
+    cfg = CodecConfig(hidden_size=32, intermediate_size=64,
+                      num_encoder_layers=1, num_decoder_layers=1,
+                      num_attention_heads=2, num_key_value_heads=2,
+                      head_dim=16, n_q=4)
+    tr = CodecTrainer(cfg, total_steps=10, warmup_steps=2, lag_tolerance=32)
+    rng = np.random.default_rng(0)
+    wav = synthetic_audio_batch(rng, 2, 0.2)
+    first = tr.train_step(wav)
+    for _ in range(5):
+        last = tr.train_step(wav)
+    assert np.isfinite(last["loss"]) and last["loss"] < first["loss"]

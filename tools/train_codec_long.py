@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--n-q", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--snr-weight", type=float, default=2.0)
+    ap.add_argument("--lag-tol", type=int, default=0,
+                    help="waveform-loss lag tolerance in samples "
+                         "(codec/losses.lag_align)")
     ap.add_argument("--adv-start", type=int, default=5000)
     ap.add_argument("--adv-weight", type=float, default=3.0)
     ap.add_argument("--fm-weight", type=float, default=3.0)
@@ -71,7 +74,8 @@ def main(argv=None):
     trainer = CodecTrainer(
         cfg, num_quantizers=args.n_q, peak_lr=args.lr,
         warmup_steps=max(1, args.steps // 20), total_steps=args.steps,
-        snr_weight=args.snr_weight, adversarial=True,
+        snr_weight=args.snr_weight, lag_tolerance=args.lag_tol,
+        adversarial=True,
         adv_weight=args.adv_weight, fm_weight=args.fm_weight,
         adv_start=args.adv_start)
 
