@@ -588,7 +588,12 @@ def run_local_server(args) -> dict:
         return ids, msk
 
     ids, msk = batchify(prompts[:slots])
-    engine.generate(ids, msk, max_new_tokens=4, **greedy)
+    # the engine keys its prefill program on max_new_tokens: warm every
+    # distinct per-group max, or the timed loop below pays fresh remote
+    # compiles and the static baseline deflates (overstating the CB win)
+    for mn in sorted({max(max_news[i:i + slots])
+                      for i in range(0, n_requests, slots)}):
+        engine.generate(ids, msk, max_new_tokens=mn, **greedy)
     t0 = time.perf_counter()
     static_frames = 0
     for i in range(0, n_requests, slots):
@@ -698,10 +703,17 @@ def run_batch_server(args) -> dict:
         for g in prompts[:slots]])
     # on_device=True gives the static baseline the same zero-host-sync
     # decode discipline as the server (lax.while_loop segments), so the
-    # measured gap is continuous batching itself, not host round-trips
-    engine.generate(batch_ids, batch_mask, max_new_tokens=max(max_news),
-                    text_temperature=1.7, audio_temperature=1.7,
-                    on_device=True)
+    # measured gap is continuous batching itself, not host round-trips.
+    # The engine keys its prefill/while_loop programs on max_new_tokens, so
+    # warm EVERY distinct per-group max — warming only the global max left
+    # remote compiles inside the timed loop below, deflating the static
+    # baseline ~2x and overstating the CB win
+    distinct_mns = sorted({max(max_news[i:i + slots])
+                           for i in range(0, n_requests, slots)})
+    for mn in distinct_mns:
+        engine.generate(batch_ids, batch_mask, max_new_tokens=mn,
+                        text_temperature=1.7, audio_temperature=1.7,
+                        on_device=True)
     t0 = time.perf_counter()
     static_frames = 0
     for i in range(0, n_requests, slots):
