@@ -559,9 +559,12 @@ def run_local_server(args) -> dict:
         params, cfg, slots=slots, cache_len=512,
         out_capacity=args.steps + 8, prompt_bucket=32, dtype=dt, **greedy)
     log(f"[local-server] warmup + run ({slots} slots)...")
-    # warm via a short dummy request (compiles prefill + first step bucket)
-    server.submit(prompts[0][:32], max_new_tokens=2)
-    server.run()
+    # prompts are 24..64 tokens at prompt_bucket=32 -> buckets 32 and 64;
+    # warm both plus every attend bucket the run can reach, or the timed
+    # loop pays fresh remote compiles (deflating the CB side)
+    server.warmup(prompt_lens=(32, 64),
+                  attend_upto=min(64 + args.steps + 16, 512))
+    server.total_steps, server.util_sum = 0, 0.0
     rid_mn = {}
     for g, mn in zip(prompts, max_news):
         rid_mn[server.submit(g, max_new_tokens=mn)] = mn
@@ -614,6 +617,8 @@ def run_local_server(args) -> dict:
         "detail": {
             "slots": slots, "requests": n_requests,
             "decode_steps": server.total_steps,
+            "mean_utilization": round(
+                server.util_sum / max(server.total_steps, 1), 3),
             "useful_frames": cb_frames,
             "cb_wall_s": round(cb_elapsed, 1),
             "static_frames_per_sec": round(st_fps, 1),
@@ -668,23 +673,19 @@ def run_batch_server(args) -> dict:
     # are 48..96 at prompt_bucket=32), attend stays in the 256 bucket
     server.warmup(prompt_lens=(64, 96), attend_upto=256)
 
-    util_samples = []
+    server.total_steps, server.util_sum = 0, 0.0  # exclude warmup steps
     rid_mn = {}
     for g, mn in zip(prompts, max_news):
         rid_mn[server.submit(g, max_new_tokens=mn)] = mn
     t0 = time.perf_counter()
-    done = []
-    for _ in range(100000):
-        done.extend(server.step())
-        util_samples.append(len(server._active) / slots)
-        if not server._active and not server._queue:
-            break
+    done = server.run(max_steps=100000)
     cb_elapsed = time.perf_counter() - t0
     # useful frames only on BOTH sides: CB's post-EOS poll slack is capped
     # at the requested count, and static below is credited each row's
     # requested frames rather than the lock-step group max it decodes to
     cb_frames = sum(min(c.steps, rid_mn[c.request_id]) for c in done)
-    cb_steps = len(util_samples)
+    cb_steps = server.total_steps
+    cb_util = server.util_sum / max(server.total_steps, 1)
 
     # static batching: same requests, groups of `slots`, each group decodes
     # to its LONGEST request (the head-of-line blocking continuous batching
@@ -778,7 +779,7 @@ def run_batch_server(args) -> dict:
             "slots": slots, "requests": n_requests,
             "decode_steps": cb_steps,
             "steps_per_sec": round(cb_steps / cb_elapsed, 2),
-            "mean_utilization": round(float(np.mean(util_samples)), 3),
+            "mean_utilization": round(cb_util, 3),
             "useful_frames": cb_frames,
             "static_frames_per_sec": round(st_fps, 1),
             "static_wall_s": round(static_elapsed, 1),

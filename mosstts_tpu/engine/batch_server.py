@@ -193,6 +193,7 @@ class DelayBatchServer:
         self._active: Dict[int, _Request] = {}  # slot -> request
         self.state = self._empty_state()
         self.total_steps = 0
+        self.util_sum = 0.0  # sum over steps of active/slots (mean = /total_steps)
         self.total_preemptions = 0
         # host mirrors of state.pos / state.step (exact: both advance by 1
         # per decode step for every row, stopped or not)
@@ -398,6 +399,80 @@ class DelayBatchServer:
             )
         return self._jit[key]
 
+    def _block_fn(self, attend: int, k: int):
+        """ONE device program = ``k`` decode steps (lax.fori_loop over the
+        step). Every program launch pays a fixed dispatch floor (~30 ms on
+        this tunnel; still real on local hardware), so per-step serving
+        dispatch caps throughput at slots/floor no matter how fast the chip
+        is — measured 34 ms/step vs the ~3 ms device-bound step at 16 slots.
+        Blocked dispatch amortizes the floor over k steps (the multi-step
+        scheduling trick from GPU serving stacks); completions and
+        admissions already only happen at poll boundaries, so the serving
+        contract is unchanged."""
+        key = ("block", attend, k)
+        if key not in self._jit:
+            cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
+
+            def block(p, st, s):
+                return jax.lax.fori_loop(
+                    0, k,
+                    lambda i, cur: delay_decode_step(
+                        p, cfg, cur, s, top_k_text=tkt, top_k_audio=tka,
+                        attend_len=attend),
+                    st)
+
+            self._jit[key] = jax.jit(block, donate_argnums=(1,))
+        return self._jit[key]
+
+    def _dispatch_block(self, k: int) -> int:
+        """Admit queued requests into free slots, then enqueue ONE k-step
+        block program. Returns the steps dispatched (0 if nothing active).
+        A slot that hits its token budget mid-block overshoots by at most
+        k-1 masked-out steps (k <= poll_every, which submit() reserves as
+        cache slack); _collect trims the output to the requested count."""
+        self._fill_free_slots()
+        if not self._active:
+            return 0
+        if self.paged:
+            # grow every active slot's pages to cover the whole block
+            for retry in range(2):
+                for slot in sorted(self._active):
+                    if not self._grow_pages(slot,
+                                            int(self._pos_host[slot]) + k - 1):
+                        self._preempt(slot)
+                if self._active:
+                    break
+                # everything preempted: their pages are back in the pool, so
+                # re-admit immediately (the requeued front request fits an
+                # empty pool by submit()'s worst-case check) rather than
+                # reporting no progress; loop once more so the fresh slots
+                # get their block growth too
+                self._fill_free_slots()
+                if not self._active:
+                    return 0
+            if not self._active:
+                return 0
+        active = sorted(self._active)
+        max_pos = int(self._pos_host[active].max())
+        attend = attend_bucket(max_pos + k + 1, 256, self.cache_len)
+        self.state = self._block_fn(attend, k)(
+            self.params, self.state, self._batch_sampling_dev())
+        self.total_steps += k
+        self.util_sum += k * (len(self._active) / self.slots)
+        self._pos_host += k
+        self._step_host += k
+        return k
+
+    def step_block(self, k: Optional[int] = None) -> List[CompletedRequest]:
+        """One poll window in a single dispatch: admit, run ``k`` (default
+        poll_every) decode steps as ONE device program, then collect. The
+        serving-loop building block for hosts that interleave their own
+        work (HTTP pools) between windows; completions lag <= k-1 steps."""
+        k = self.poll_every if k is None else k
+        if self._dispatch_block(k) == 0:
+            return []
+        return self._collect()
+
     # ------------------------------------------------------------------
     def submit(self, input_ids: np.ndarray, *, max_new_tokens: int = 256,
                sampling: Optional[dict] = None,
@@ -536,6 +611,7 @@ class DelayBatchServer:
         self.state = self._step_fn(attend)(
             self.params, self.state, self._batch_sampling_dev())
         self.total_steps += 1
+        self.util_sum += len(self._active) / self.slots
         self._pos_host += 1
         self._step_host += 1
 
@@ -644,16 +720,12 @@ class DelayBatchServer:
         steps = 0
         while True:
             did = 0
-            while did < self.poll_every and steps < max_steps:
-                if not (self._active or self._queue):
-                    break
-                if self._active and any(
-                        self._step_host[s] >= self._active[s].max_new_tokens
-                        for s in self._active):
-                    break  # budget hit: resolve now (host mirror is exact)
-                self.step(poll=False)
-                steps += 1
-                did += 1
+            k = min(self.poll_every, max_steps - steps)
+            if k > 0 and (self._active or self._queue):
+                # one dispatch for the whole poll window; the previous
+                # window's flag snapshot is fetched while this block runs
+                did = self._dispatch_block(k)
+                steps += did
             if pending is not None:
                 flags_dev, snap_rids = pending
                 flags = np.asarray(jax.device_get(flags_dev))
@@ -669,7 +741,9 @@ class DelayBatchServer:
                 pending = None
             if not (self._active or self._queue):
                 break
-            if steps >= max_steps and did == 0:
+            if did == 0:
+                # max_steps exhausted, or (paged) nothing could be admitted
+                # this window — either way no progress is possible
                 break
             if self._active:
                 pending = (self._snap_flags(),
@@ -714,6 +788,9 @@ class DelayBatchServer:
             if a not in seen:
                 seen.add(a)
                 self.state = self._step_fn(a)(
+                    self.params, self.state, self._batch_sampling_dev())
+                # the pipelined run() dispatches poll_every-step blocks
+                self.state = self._block_fn(a, self.poll_every)(
                     self.params, self.state, self._batch_sampling_dev())
             if a >= upto:
                 break

@@ -112,6 +112,7 @@ class LocalBatchServer:
         self._active: Dict[int, _LocalRequest] = {}
         self.state = self._empty_state()
         self.total_steps = 0
+        self.util_sum = 0.0  # sum over steps of active/slots (mean = /total_steps)
         self._pos_host = np.zeros(slots, np.int64)  # upper bound (freezes lag)
         self._step_host = np.full(slots, 1 << 30, np.int64)
 
@@ -158,6 +159,54 @@ class LocalBatchServer:
                 donate_argnums=(1,),
             )
         return self._jit[key]
+
+    def _block_fn(self, attend: int, k: int):
+        """ONE device program = ``k`` frame steps (lax.fori_loop over the
+        step). Amortizes the fixed per-dispatch floor (~30 ms on this
+        tunnel) over k steps — see DelayBatchServer._block_fn for the
+        measured rationale; the poll contract is unchanged."""
+        key = ("block", attend, k)
+        if key not in self._jit:
+            cfg, nv, eos = self.config, self.n_vq_infer, self.eos_token_id
+
+            def block(p, st, s):
+                return jax.lax.fori_loop(
+                    0, k,
+                    lambda i, cur: local_frame_step(
+                        p, cfg, cur, s, n_vq_infer=nv, eos_token_id=eos,
+                        attend_len=attend),
+                    st)
+
+            self._jit[key] = jax.jit(block, donate_argnums=(1,))
+        return self._jit[key]
+
+    def _dispatch_block(self, k: int) -> int:
+        """Admit, then enqueue ONE k-step block program; returns steps
+        dispatched. Budget overshoot is bounded by k-1 <= poll_every-1
+        frames (submit() reserves poll_every cache slack); EOS-frozen rows
+        hold their device cursor, so the host mirrors only over-count
+        (attend bucket over-estimate — safe)."""
+        self._fill_free_slots()
+        if not self._active:
+            return 0
+        active = sorted(self._active)
+        max_pos = int(self._pos_host[active].max())
+        attend = attend_bucket(max_pos + k + 1, 256, self.cache_len)
+        self.state = self._block_fn(attend, k)(
+            self.params, self.state, self.sampling)
+        self.total_steps += k
+        self.util_sum += k * (len(self._active) / self.slots)
+        self._pos_host[active] += k
+        self._step_host[active] += k
+        return k
+
+    def step_block(self, k: Optional[int] = None) -> List[CompletedLocal]:
+        """One poll window in a single dispatch: admit, run ``k`` (default
+        poll_every) frame steps as ONE device program, then collect."""
+        k = self.poll_every if k is None else k
+        if self._dispatch_block(k) == 0:
+            return []
+        return self._collect()
 
     def _insert_fn(self):
         if "insert" not in self._jit:
@@ -218,6 +267,7 @@ class LocalBatchServer:
         attend = attend_bucket(max_pos + 2, 256, self.cache_len)
         self.state = self._step_fn(attend)(self.params, self.state, self.sampling)
         self.total_steps += 1
+        self.util_sum += len(self._active) / self.slots
         self._pos_host[active] += 1
         self._step_host[active] += 1
 
@@ -298,16 +348,12 @@ class LocalBatchServer:
         steps = 0
         while True:
             did = 0
-            while did < self.poll_every and steps < max_steps:
-                if not (self._active or self._queue):
-                    break
-                if self._active and any(
-                        self._step_host[s] >= self._active[s].max_new_tokens
-                        for s in self._active):
-                    break  # budget hit: resolve now (host mirror is exact)
-                self.step(poll=False)
-                steps += 1
-                did += 1
+            k = min(self.poll_every, max_steps - steps)
+            if k > 0 and (self._active or self._queue):
+                # one dispatch for the whole poll window; the previous
+                # window's flag snapshot is fetched while this block runs
+                did = self._dispatch_block(k)
+                steps += did
             if pending is not None:
                 flags_dev, snap_rids = pending
                 unfinished = np.asarray(jax.device_get(flags_dev))
@@ -323,12 +369,41 @@ class LocalBatchServer:
                 pending = None
             if not (self._active or self._queue):
                 break
-            if steps >= max_steps and did == 0:
-                break
+            if did == 0:
+                break  # max_steps exhausted: no progress possible
             if self._active:
                 pending = (self._snap_flags(),
                            {s: r.request_id for s, r in self._active.items()})
         return done
+
+    def warmup(self, *, prompt_lens=(32,), attend_upto: Optional[int] = None):
+        """Compile every program the serving loop can hit (mirrors
+        DelayBatchServer.warmup): the prefill + insert programs for each
+        prompt-length bucket, and the step + block programs at every attend
+        bucket up to ``attend_upto``. Idle rows are frozen (unfinished is
+        False), so the extra idle steps cannot leak into later requests."""
+        assert not self._active and not self._queue, "warmup on a busy server"
+        cfg = self.config
+        for T in prompt_lens:
+            g = np.full((int(T), cfg.channels), cfg.audio_pad_code, np.int64)
+            g[:, 0] = cfg.pad_token_id
+            g[min(2, T - 1), 0] = cfg.audio_start_token_id
+            self.submit(g, max_new_tokens=2)
+        self.run()
+        upto = min(attend_upto or self.cache_len, self.cache_len)
+        pos, seen = 2, set()
+        while True:
+            a = attend_bucket(pos, 256, self.cache_len)
+            if a not in seen:
+                seen.add(a)
+                self.state = self._step_fn(a)(
+                    self.params, self.state, self.sampling)
+                self.state = self._block_fn(a, self.poll_every)(
+                    self.params, self.state, self.sampling)
+            if a >= upto:
+                break
+            pos = a + 1
+        jax.device_get(self.state.pos)  # wait out the compiles
 
     @property
     def utilization(self) -> float:

@@ -72,7 +72,11 @@ class DelayServingPool:
             try:
                 with self._lock:
                     busy = bool(self.server._active or self.server._queue)
-                    done = self.server.step() if busy else []
+                    # one poll window per dispatch (step_block): per-step
+                    # dispatch pays the fixed launch floor every step and
+                    # caps pool throughput at slots/floor (measured 34 ms vs
+                    # the ~3 ms device-bound step at 16 slots)
+                    done = self.server.step_block() if busy else []
             except BaseException as e:  # noqa: BLE001 - surfaced to callers
                 # a dead decode thread must FAIL every pending and future
                 # generate() loudly, not hang them on their events forever.

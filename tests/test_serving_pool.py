@@ -78,7 +78,7 @@ def test_pool_dead_thread_surfaces_error():
         def boom(*a, **kw):
             raise RuntimeError("injected step failure")
 
-        pool.server.step = boom
+        pool.server.step_block = boom  # the method the decode loop drives
         rng = np.random.default_rng(1)
         ids = _grid(rng, 8)[None]
         import pytest
