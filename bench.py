@@ -1146,6 +1146,21 @@ def main():
         run_sweep(args)
         return
 
+    if not args.direct and not args.no_probe:
+        # a hand-invoked section (sweep subprocesses pass --direct and ride
+        # the parent's probe): verify the backend in a killable subprocess
+        # first, or a wedged tunnel hangs the first in-process device op
+        # forever with nothing printed (observed r4)
+        healthy, attempts = ensure_backend_healthy()
+        if not healthy:
+            print(json.dumps({
+                "metric": "section_aborted", "value": 0.0, "unit": "none",
+                "vs_baseline": 0.0,
+                "error": "TPU backend unavailable after idle-backoff retries",
+                "detail": {"probe": attempts},
+            }))
+            return
+
     if args.ttfa:
         print(json.dumps(run_ttfa(args)))
         return
