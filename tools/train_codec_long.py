@@ -106,9 +106,10 @@ def main(argv=None):
         rec = {"tag": tag, "step": trainer.step_idx,
                "wall_min": round((time.perf_counter() - t0) / 60, 1), **m}
         print(json.dumps(rec), flush=True)
-        if args.save and m["si_snr_db"] > best:
+        if m["si_snr_db"] > best:
             best = m["si_snr_db"]
-            trainer.save(args.save)
+            if args.save:
+                trainer.save(args.save)
         return m
 
     report("init")
