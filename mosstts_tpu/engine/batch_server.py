@@ -20,6 +20,7 @@ pool exhaustion triggers vLLM-style recompute preemption.
 from __future__ import annotations
 
 import itertools
+import logging
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -434,24 +435,33 @@ class DelayBatchServer:
         if not self._active:
             return 0
         if self.paged:
-            # grow every active slot's pages to cover the whole block
-            for retry in range(2):
+            # Grow every active slot's pages to cover the whole block. The
+            # grow pass establishes an invariant: every slot still in
+            # _active afterwards is grown through the block (ungrown slots
+            # were preempted out). Dispatching MUST only happen under that
+            # invariant — an ungrown slot's decode writes route through
+            # table entry 0 (the shared trash page) and silently corrupt
+            # its KV — so on total preemption we re-admit (the pool is now
+            # free; the requeued front request fits by submit()'s
+            # worst-case check) and re-run the grow pass, never falling
+            # through to dispatch after a refill. The attempt bound only
+            # breaks admit->grow-fail->preempt livelock (possible when a
+            # preempt-merged prompt outgrew the pool); active is empty at
+            # that point, so returning 0 just requeues the window.
+            attempts = 0
+            while True:
                 for slot in sorted(self._active):
                     if not self._grow_pages(slot,
                                             int(self._pos_host[slot]) + k - 1):
                         self._preempt(slot)
                 if self._active:
-                    break
-                # everything preempted: their pages are back in the pool, so
-                # re-admit immediately (the requeued front request fits an
-                # empty pool by submit()'s worst-case check) rather than
-                # reporting no progress; loop once more so the fresh slots
-                # get their block growth too
+                    break  # invariant holds: all surviving slots are grown
+                attempts += 1
+                if attempts > self.slots + 2:
+                    return 0
                 self._fill_free_slots()
                 if not self._active:
                     return 0
-            if not self._active:
-                return 0
         active = sorted(self._active)
         max_pos = int(self._pos_host[active].max())
         attend = attend_bucket(max_pos + k + 1, 256, self.cache_len)
@@ -719,6 +729,14 @@ class DelayBatchServer:
         pending = None  # (device snapshot, slot->request_id) awaiting resolve
         steps = 0
         while True:
+            # budget completions are host-knowable (step mirrors): resolve
+            # them BEFORE dispatching so a request whose budget completed
+            # inside the previous window frees its slot now instead of
+            # burning up to another full window of masked overshoot steps
+            # (which would exceed the poll_every cache slack submit()
+            # reserves, and in paged mode force spurious page growth)
+            if self._active:
+                out.extend(self._collect(stopped=np.zeros(self.slots, bool)))
             did = 0
             k = min(self.poll_every, max_steps - steps)
             if k > 0 and (self._active or self._queue):
@@ -743,7 +761,16 @@ class DelayBatchServer:
                 break
             if did == 0:
                 # max_steps exhausted, or (paged) nothing could be admitted
-                # this window — either way no progress is possible
+                # this window — either way no progress is possible. Surface
+                # any abandoned requests: callers waiting on those ids must
+                # be able to tell "drained" from "stuck in queue".
+                if self._queue:
+                    stuck = [r.request_id for r in self._queue]
+                    logging.getLogger(__name__).warning(
+                        "batch server run() stopping with %d undrained "
+                        "request(s) still queued (ids %s): no progress was "
+                        "possible this window (max_steps exhausted or paged "
+                        "admission failure)", len(stuck), stuck)
                 break
             if self._active:
                 pending = (self._snap_flags(),

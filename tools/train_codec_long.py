@@ -99,6 +99,11 @@ def main(argv=None):
     t0 = time.perf_counter()
     deadline = t0 + args.max_minutes * 60 if args.max_minutes else None
     best = -1e9
+    # under --lag-tol the model legitimately converges to a constant-lag
+    # output, which plain SI-SNR scores as catastrophic (that mismatch is
+    # why si_snr_shift_db exists) — select the checkpoint on the
+    # shift-tolerant metric in that mode or the "best" save is noise
+    select_key = "si_snr_shift_db" if args.lag_tol > 0 else "si_snr_db"
 
     def report(tag: str):
         nonlocal best
@@ -106,8 +111,8 @@ def main(argv=None):
         rec = {"tag": tag, "step": trainer.step_idx,
                "wall_min": round((time.perf_counter() - t0) / 60, 1), **m}
         print(json.dumps(rec), flush=True)
-        if m["si_snr_db"] > best:
-            best = m["si_snr_db"]
+        if m[select_key] > best:
+            best = m[select_key]
             if args.save:
                 trainer.save(args.save)
         return m
@@ -122,7 +127,7 @@ def main(argv=None):
                   flush=True)
             break
     final = report("final")
-    print(json.dumps({"tag": "done", "best_si_snr_db": best, **final}),
+    print(json.dumps({"tag": "done", "best_" + select_key: best, **final}),
           flush=True)
 
 
