@@ -673,19 +673,52 @@ def run_batch_server(args) -> dict:
     # are 48..96 at prompt_bucket=32), attend stays in the 256 bucket
     server.warmup(prompt_lens=(64, 96), attend_upto=256)
 
-    server.total_steps, server.util_sum = 0, 0.0  # exclude warmup steps
-    rid_mn = {}
-    for g, mn in zip(prompts, max_news):
-        rid_mn[server.submit(g, max_new_tokens=mn)] = mn
-    t0 = time.perf_counter()
-    done = server.run(max_steps=100000)
-    cb_elapsed = time.perf_counter() - t0
-    # useful frames only on BOTH sides: CB's post-EOS poll slack is capped
-    # at the requested count, and static below is credited each row's
-    # requested frames rather than the lock-step group max it decodes to
-    cb_frames = sum(min(c.steps, rid_mn[c.request_id]) for c in done)
-    cb_steps = server.total_steps
-    cb_util = server.util_sum / max(server.total_steps, 1)
+    def timed_run(runner):
+        server.total_steps, server.util_sum = 0, 0.0  # exclude prior steps
+        server.total_dispatches = 0
+        rid_mn = {}
+        for g, mn in zip(prompts, max_news):
+            rid_mn[server.submit(g, max_new_tokens=mn)] = mn
+        t0 = time.perf_counter()
+        done = runner(max_steps=100000)
+        elapsed = time.perf_counter() - t0
+        # useful frames only on BOTH sides: CB's post-EOS poll slack is
+        # capped at the requested count, and static below is credited each
+        # row's requested frames rather than the lock-step group max
+        frames = sum(min(c.steps, rid_mn[c.request_id]) for c in done)
+        return {
+            "frames": frames, "elapsed": elapsed,
+            "steps": server.total_steps,
+            "dispatches": server.total_dispatches,
+            "util": server.util_sum / max(server.total_steps, 1),
+        }
+
+    cbw = timed_run(server.run)  # windowed (poll_every blocks), headline CB
+    cb_frames, cb_elapsed = cbw["frames"], cbw["elapsed"]
+    cb_steps, cb_util = cbw["steps"], cbw["util"]
+
+    # Marginal dispatch-overhead measurement (VERDICT r4 item 5): rerun the
+    # SAME load at doubled poll_every; with t = steps*m + dispatches*OH per
+    # run, two runs solve (m, OH) exactly — the per-program dispatch floor
+    # OH and the pure device step time m, no tunnel assumption needed.
+    server.poll_every = server.poll_every * 2
+    cb2 = timed_run(server.run)
+    server.poll_every = server.poll_every // 2
+    det = (cbw["steps"] * cb2["dispatches"] - cb2["steps"] * cbw["dispatches"])
+    if det:
+        m_step = (cbw["elapsed"] * cb2["dispatches"]
+                  - cb2["elapsed"] * cbw["dispatches"]) / det
+        oh_disp = (cbw["elapsed"] - cbw["steps"] * m_step) / max(
+            cbw["dispatches"], 1)
+    else:
+        m_step, oh_disp = cb_elapsed / max(cb_steps, 1), 0.0
+    corrected_fps = cb_frames / max(cb_elapsed - cbw["dispatches"] * oh_disp,
+                                    1e-9)
+
+    # Event-driven dispatch: device-side stop-flag polling — one program
+    # per scheduling event instead of per poll window (run_events)
+    log("[batch-server] event-driven run (device-side stop polling)...")
+    cbe = timed_run(server.run_events)
 
     # static batching: same requests, groups of `slots`, each group decodes
     # to its LONGEST request (the head-of-line blocking continuous batching
@@ -754,33 +787,57 @@ def run_batch_server(args) -> dict:
             kv_quant=True, paged=True, page_size=128,
         )
         pserver.warmup(prompt_lens=(64, 96), attend_upto=256)
-        prid_mn = {}
-        for g, mn in zip(prompts, max_news):
-            prid_mn[pserver.submit(g, max_new_tokens=mn)] = mn
-        t0 = time.perf_counter()
-        pdone = pserver.run(max_steps=100000)
-        p_elapsed = time.perf_counter() - t0
-        p_frames = sum(min(c.steps, prid_mn[c.request_id]) for c in pdone)
+
+        def timed_paged(runner):
+            prid_mn = {}
+            for g, mn in zip(prompts, max_news):
+                prid_mn[pserver.submit(g, max_new_tokens=mn)] = mn
+            t0 = time.perf_counter()
+            pdone = runner(max_steps=100000)
+            el = time.perf_counter() - t0
+            return sum(min(c.steps, prid_mn[c.request_id])
+                       for c in pdone) / el
+
+        p_fps = timed_paged(pserver.run)
+        pe_fps = timed_paged(pserver.run_events)
         paged_detail = {
-            "paged_frames_per_sec": round(p_frames / p_elapsed, 1),
-            "paged_vs_linear": round((p_frames / p_elapsed) / max(cb_fps, 1e-9), 3),
+            "paged_frames_per_sec": round(p_fps, 1),
+            "paged_vs_linear": round(p_fps / max(cb_fps, 1e-9), 3),
+            "paged_events_frames_per_sec": round(pe_fps, 1),
+            "paged_events_vs_linear_events": round(
+                pe_fps / max(cbe["frames"] / cbe["elapsed"], 1e-9), 3),
             "paged_preemptions": pserver.total_preemptions,
             "page_size": 128, "num_pages": pserver.num_pages,
             "kv_hbm_mb_linear": round(_cache_bytes(server) / 2**20, 1),
             "kv_hbm_mb_paged": round(_cache_bytes(pserver) / 2**20, 1),
         }
 
+    cbe_fps = cbe["frames"] / cbe["elapsed"]
+    best_fps = max(cb_fps, cbe_fps)
     return {
         "metric": "continuous_batching_frames_per_sec",
-        "value": round(cb_fps, 1),
+        "value": round(best_fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(cb_fps / max(st_fps, 1e-9), 3),  # vs static
+        "vs_baseline": round(best_fps / max(st_fps, 1e-9), 3),  # vs static
         "detail": {
             "slots": slots, "requests": n_requests,
             "decode_steps": cb_steps,
             "steps_per_sec": round(cb_steps / cb_elapsed, 2),
             "mean_utilization": round(cb_util, 3),
             "useful_frames": cb_frames,
+            "windowed_frames_per_sec": round(cb_fps, 1),
+            "events_frames_per_sec": round(cbe_fps, 1),
+            "events_vs_static": round(cbe_fps / max(st_fps, 1e-9), 3),
+            "events_dispatches": cbe["dispatches"],
+            "events_steps": cbe["steps"],
+            "events_utilization": round(cbe["util"], 3),
+            # exact 2-run solve: elapsed = steps*m + dispatches*OH
+            "dispatch_overhead_ms": round(oh_disp * 1e3, 2),
+            "device_step_ms": round(m_step * 1e3, 3),
+            "windowed_dispatches": cbw["dispatches"],
+            "tunnel_corrected_frames_per_sec": round(corrected_fps, 1),
+            "tunnel_corrected_vs_static": round(
+                corrected_fps / max(st_fps, 1e-9), 3),
             "static_frames_per_sec": round(st_fps, 1),
             "static_wall_s": round(static_elapsed, 1),
             "cb_wall_s": round(cb_elapsed, 1),

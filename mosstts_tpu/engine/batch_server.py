@@ -34,6 +34,7 @@ from ..models.delay import (
     DelaySampling,
     SENTINEL,
     delay_decode_step,
+    delay_decode_until_event,
     delay_prefill,
     make_sampling,
 )
@@ -196,6 +197,7 @@ class DelayBatchServer:
         self.total_steps = 0
         self.util_sum = 0.0  # sum over steps of active/slots (mean = /total_steps)
         self.total_preemptions = 0
+        self.total_dispatches = 0  # device programs launched (dispatch-floor accounting)
         # host mirrors of state.pos / state.step (exact: both advance by 1
         # per decode step for every row, stopped or not)
         self._pos_host = np.zeros(self.slots, np.int64)
@@ -468,10 +470,124 @@ class DelayBatchServer:
         self.state = self._block_fn(attend, k)(
             self.params, self.state, self._batch_sampling_dev())
         self.total_steps += k
+        self.total_dispatches += 1
         self.util_sum += k * (len(self._active) / self.slots)
         self._pos_host += k
         self._step_host += k
         return k
+
+    def _event_fn(self, attend: int):
+        """ONE device program = decode UNTIL A SCHEDULING EVENT (any active
+        slot stops or exhausts its budget), watched on device by the
+        while_loop cond. Dispatch cost then scales with the completion
+        rate instead of the step rate — the fixed program-dispatch floor
+        (~30-45 ms on this tunnel, still real locally) is paid once per
+        collect/refill opportunity rather than once per poll window. The
+        step cap rides as a traced scalar so the jit cache stays keyed on
+        the attend bucket alone."""
+        key = ("event", attend)
+        if key not in self._jit:
+            cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
+            self._jit[key] = jax.jit(
+                lambda p, st, s, w, bl, mk: delay_decode_until_event(
+                    p, cfg, st, s, w, bl, mk,
+                    top_k_text=tkt, top_k_audio=tka, attend_len=attend),
+                donate_argnums=(1,),
+            )
+        return self._jit[key]
+
+    def _dispatch_event(self, max_k: int):
+        """Admit queued requests, then run ONE event block. Returns
+        ``(steps_executed, stop_flags | None)`` — flags are fetched in the
+        same transfer as the step count, and no admission happens between
+        dispatch and fetch, so they map directly onto current occupants."""
+        self._fill_free_slots()
+        attempts = 0
+        while True:  # recompute geometry whenever occupancy changes
+            if not self._active:
+                return 0, None
+            active = sorted(self._active)
+            max_pos = int(self._pos_host[active].max())
+            # one compiled program per attend bucket: cap the block at the
+            # bucket boundary (the next block re-enters the larger bucket)
+            attend = attend_bucket(max_pos + 2, 256, self.cache_len)
+            k_bucket = attend - max_pos - 1
+            budget = np.full(self.slots, 1 << 30, np.int64)
+            for s, req in self._active.items():
+                budget[s] = req.max_new_tokens - self._step_host[s]
+            k_cap = int(min(max_k, k_bucket, int(budget[active].min())))
+            if k_cap <= 0:
+                return 0, None
+            if not self.paged:
+                break
+            # same growth invariant as _dispatch_block: every slot still
+            # active after the grow pass covers the whole block (ungrown
+            # slots were preempted out); the surviving set's k_cap only
+            # shrinks when budgets shrink, so their coverage stays valid
+            for slot in active:
+                if not self._grow_pages(
+                        slot, int(self._pos_host[slot]) + k_cap - 1):
+                    self._preempt(slot)
+            if self._active:
+                break
+            attempts += 1
+            if attempts > self.slots + 2:
+                return 0, None
+            # total preemption: pool is free again — re-admit and loop to
+            # RECOMPUTE attend/k_cap (a preempt-merged prompt can exceed
+            # the previous max_pos)
+            self._fill_free_slots()
+        # watch only CURRENT occupants: the grow pass may have preempted
+        # slots out of `active`, and a preempted row's stale stop flag or
+        # budget entry must not end the block
+        watch = np.zeros(self.slots, bool)
+        watch[sorted(self._active)] = True
+        st, i_dev = self._event_fn(attend)(
+            self.params, self.state, self._batch_sampling_dev(),
+            jnp.asarray(watch), jnp.asarray(budget.astype(np.int32)),
+            jnp.int32(k_cap))
+        self.state = st
+        did, flags = jax.device_get((i_dev, st.is_stopping))
+        did = int(did)
+        self.total_steps += did
+        self.total_dispatches += 1
+        self.util_sum += did * (len(self._active) / self.slots)
+        self._pos_host += did
+        self._step_host += did
+        return did, np.asarray(flags)
+
+    def run_events(self, max_steps: int = 100000) -> List[CompletedRequest]:
+        """Drain queue + active slots with EVENT-DRIVEN dispatch: each
+        device program runs until a slot actually needs scheduler attention
+        (EOS or budget), so long stretches with no completions cost one
+        dispatch instead of steps/poll_every of them. Token streams are
+        bit-equal to run() — only the dispatch grouping differs."""
+        out: List[CompletedRequest] = []
+        steps = 0
+        while True:
+            if self._active:
+                # budget completions are host-knowable: free those slots
+                # before dispatching so the block admits into them
+                out.extend(self._collect(stopped=np.zeros(self.slots, bool)))
+            if not (self._active or self._queue):
+                break
+            did, flags = self._dispatch_event(max_steps - steps)
+            steps += did
+            collected = 0
+            if flags is not None:
+                got = self._collect(stopped=flags)
+                collected = len(got)
+                out.extend(got)
+            if did == 0 and collected == 0:
+                # truly no progress possible (max_steps exhausted, paged
+                # admission failure) — surface abandoned requests
+                if self._queue:
+                    stuck = [r.request_id for r in self._queue]
+                    logging.getLogger(__name__).warning(
+                        "run_events() stopping with %d undrained request(s)"
+                        " still queued (ids %s)", len(stuck), stuck)
+                break
+        return out
 
     def step_block(self, k: Optional[int] = None) -> List[CompletedRequest]:
         """One poll window in a single dispatch: admit, run ``k`` (default
@@ -621,6 +737,7 @@ class DelayBatchServer:
         self.state = self._step_fn(attend)(
             self.params, self.state, self._batch_sampling_dev())
         self.total_steps += 1
+        self.total_dispatches += 1
         self.util_sum += len(self._active) / self.slots
         self._pos_host += 1
         self._step_host += 1

@@ -656,6 +656,52 @@ def delay_train_step(params, cfg: DelayConfig, batch, lr: float = 1e-4):
     return new_params, loss, aux
 
 
+def delay_decode_until_event(
+    params, cfg: DelayConfig, state: DelayGenState, sampling: DelaySampling,
+    watch: jax.Array,  # (B,) bool — rows whose completion ends the block
+    budget_left: jax.Array,  # (B,) int32 — steps remaining per watched row
+    max_steps: jax.Array,  # scalar int32 — dynamic cap (attend bucket bound)
+    *, top_k_text: int = 50, top_k_audio: int = 25,
+    attend_len: Optional[int] = None,
+) -> Tuple[DelayGenState, jax.Array]:
+    """Decode until a SCHEDULING EVENT: any watched row stops (EOS) or
+    exhausts its token budget, or ``max_steps`` elapse. Returns
+    ``(state, steps_executed)``.
+
+    This is the device-side stop-flag polling that lets a continuous-
+    batching server cover MANY poll windows with ONE dispatch: instead of
+    the host fetching stop flags every ``poll_every`` steps (each fixed-
+    size block paying the full program-dispatch floor — ~30-45 ms on a
+    tunneled chip, and still real locally), the while_loop's cond watches
+    the flags ON DEVICE and the program runs exactly until the scheduler
+    has an actionable event (a slot to collect/refill). Dispatch cost then
+    scales with the COMPLETION rate, not the step rate. Per-step math is
+    identical to ``delay_decode_step``, so tokens are bit-equal to the
+    windowed dispatch. ``max_steps`` is a traced scalar (one compiled
+    program per attend bucket, not per cap).
+
+    Replaces the host-driven poll loop the reference serves with
+    (reference moss_tts_realtime/app.py:951-954 runs one request at a
+    time; our windowed fallback is engine/batch_server.py:_dispatch_block).
+    """
+
+    def cond(carry):
+        st, i = carry
+        event = watch & (st.is_stopping | (i >= budget_left))
+        return (i < max_steps) & ~jnp.any(event)
+
+    def body(carry):
+        st, i = carry
+        st = delay_decode_step(
+            params, cfg, st, sampling,
+            top_k_text=top_k_text, top_k_audio=top_k_audio,
+            attend_len=attend_len,
+        )
+        return st, i + 1
+
+    return jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+
 def delay_generate_on_device(
     params, cfg: DelayConfig, state: DelayGenState, sampling: DelaySampling,
     *, max_new_tokens: int, top_k_text: int = 50, top_k_audio: int = 25,

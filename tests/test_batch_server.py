@@ -260,3 +260,41 @@ def test_delay_server_pipelined_poll_matches_sequential(setup):
         a, b = seq[rid].tokens, pipe[rid].tokens
         n = min(len(a), len(b))
         np.testing.assert_array_equal(a[:n], b[:n], err_msg=f"request {rid}")
+
+
+def test_event_driven_run_matches_windowed():
+    """run_events() (device-side stop-flag polling: one dispatch per
+    scheduling event) must reproduce run()'s outputs exactly — same
+    request->tokens map and exact budget step counts — for both the linear
+    and paged servers, under mixed budgets so budget exits, EOS exits and
+    mid-flight admission all fire inside event blocks."""
+    params = init_delay_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    proc = DelayProcessor(ByteFallbackTokenizer(), None, CFG)
+    grids = [_continuation_grid(proc, f"event wave {i}", seed=80 + i)
+             for i in range(5)]
+    budgets = [24, 9, 17, 31, 12]  # mixed: forces staggered budget events
+
+    def serve(paged, events):
+        kw = dict(slots=2, cache_len=256, out_capacity=64, prompt_bucket=32,
+                  dtype=jnp.float32,
+                  sampling=make_sampling(text_temperature=0.0,
+                                         audio_temperature=0.0))
+        if paged:
+            kw.update(paged=True, page_size=64)
+        srv = DelayBatchServer(params, CFG, **kw)
+        rids = [srv.submit(g, max_new_tokens=mn)
+                for g, mn in zip(grids, budgets)]
+        run = srv.run_events if events else srv.run
+        done = {c.request_id: c for c in run(max_steps=800)}
+        assert sorted(done) == sorted(rids)
+        return [done[r] for r in rids], srv
+
+    ref, _ = serve(paged=False, events=False)
+    for paged in (False, True):
+        got, srv = serve(paged=paged, events=True)
+        for a, b, mn in zip(ref, got, budgets):
+            np.testing.assert_array_equal(
+                a.tokens, b.tokens,
+                err_msg=f"event-driven diverged (paged={paged})")
+            assert b.steps <= mn
+        assert not srv._active and not srv._queue
