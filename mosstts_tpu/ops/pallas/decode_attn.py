@@ -307,6 +307,177 @@ def decode_attention_q8(
     return out.reshape(B, H, hd)
 
 
+def _decode_kernel_q8t(
+    li_ref,
+    q_ref,  # (1, KV, G, hd)
+    k_ref,  # (1, 1, KV, bs, hd) int8
+    ks_ref,  # (1, 1, 1, KV*bs) TILED scale row (bf16 or f32)
+    v_ref,  # (1, 1, KV, bs, hd) int8
+    vs_ref,  # (1, 1, 1, KV*bs)
+    valid_ref,  # (1, 1, KV*bs) int8 TILED validity row
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    n_kv: int,
+    g: int,
+):
+    """int8-KV variant over PRE-TILED scale rows: the (L, B, S/bs, KV*bs)
+    layout delivers each tile's scales as one flat lane row, so the kernel
+    does zero in-kernel concatenation — which is what blocked bf16 scales
+    (bf16 rows trip a Mosaic concat alignment limit in _decode_kernel_q8)
+    and what costs 2*KV lane-concats per tile there. Score/prob math is
+    identical to _decode_kernel_q8."""
+    s_idx = pl.program_id(1)
+    n_s = pl.num_programs(1)
+    hd = q_ref.shape[-1]
+    bs = k_ref.shape[-2]
+    rows, cols = n_kv * g, n_kv * bs
+
+    @pl.when(s_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].reshape(rows, hd).astype(jnp.bfloat16) * scale
+    k = k_ref[0, 0].reshape(cols, hd)  # int8
+    v = v_ref[0, 0].reshape(cols, hd)
+    k_sc = ks_ref[0, 0].astype(jnp.float32)  # (1, KV*bs) — already flat
+    v_sc = vs_ref[0, 0].astype(jnp.float32)
+    vmask_flat = valid_ref[0] != 0  # (1, KV*bs) — already flat
+
+    scores = jax.lax.dot_general(
+        q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (KV*G, KV*bs) in int8 units
+    scores = scores * k_sc
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0) // g
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1) // bs
+    allowed = row_head == col_head
+    scores = jnp.where(allowed & vmask_flat, scores, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+    p = jnp.exp(scores - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * v_sc).astype(jnp.bfloat16)
+    acc_new = alpha * acc_scr[:] + jax.lax.dot_general(
+        pv, v.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:, :1] = m_new
+    l_scr[:, :1] = l_new
+    acc_scr[:] = acc_new
+
+    @pl.when(s_idx == n_s - 1)
+    def _emit():
+        norm = acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = norm.reshape(n_kv, g, norm.shape[-1]).astype(o_ref.dtype)
+
+
+def pack_kv_scales(sc: jax.Array, block_s: int = 256,
+                   dtype=jnp.bfloat16) -> jax.Array:
+    """(L, B, KV, S) per-(token, head) scales -> the tiled (L, B, S/bs,
+    KV*bs) layout decode_attention_q8t streams: lane ``kv*bs + (t % bs)``
+    of row ``t // bs`` holds head kv's scale for token t — exactly the
+    column order of the kernel's flattened (KV*bs, hd) K/V tile."""
+    L, B, KV, S = sc.shape
+    bs = min(block_s, S)
+    assert S % bs == 0, (S, bs)
+    t = sc.reshape(L, B, KV, S // bs, bs)
+    t = jnp.transpose(t, (0, 1, 3, 2, 4))
+    return t.reshape(L, B, S // bs, KV * bs).astype(dtype)
+
+
+def pack_valid(kv_valid: jax.Array, n_kv: int, block_s: int = 256) -> jax.Array:
+    """(B, S) bool -> (B, S/bs, KV*bs) int8 tiled validity rows (the same
+    lane order as pack_kv_scales; validity is head-independent so each
+    head's lane span carries the same bits)."""
+    B, S = kv_valid.shape
+    bs = min(block_s, S)
+    assert S % bs == 0, (S, bs)
+    v = kv_valid.astype(jnp.int8).reshape(B, 1, S // bs, bs)
+    v = jnp.broadcast_to(v, (B, n_kv, S // bs, bs))
+    v = jnp.transpose(v, (0, 2, 1, 3))
+    return v.reshape(B, S // bs, n_kv * bs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "attend_len", "block_s", "interpret"),
+)
+def decode_attention_q8t(
+    q: jax.Array,  # (B, H, hd)
+    k_cache: jax.Array,  # (L, B, KV, S, hd) int8
+    k_scale_t: jax.Array,  # (L, B, S/bs, KV*bs) TILED (bf16 or f32)
+    v_cache: jax.Array,  # int8
+    v_scale_t: jax.Array,
+    kv_valid: jax.Array,  # (B, S) bool
+    layer: jax.Array,
+    *,
+    scale: float,
+    attend_len: int,
+    block_s: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-KV flash-decode over the tiled scale layout (see
+    pack_kv_scales): semantics identical to ``decode_attention_q8``, but
+    the per-tile scale rows arrive pre-flattened so the kernel does no
+    lane concatenation and the scales may be bf16 — the layout sketched
+    in docs/ROADMAP.md (round-4 item 3)."""
+    B, H, hd = q.shape
+    L, _, KV, S, _ = k_cache.shape
+    G = H // KV
+    assert attend_len % block_s == 0 or attend_len < block_s, (
+        f"attend_len {attend_len} not a multiple of block_s {block_s}")
+    bs = min(block_s, attend_len)
+    n_s = attend_len // bs
+    assert k_scale_t.shape[3] == KV * bs, (
+        f"tiled scales packed for bs={k_scale_t.shape[3] // KV}, kernel "
+        f"running bs={bs}")
+
+    valid_t = pack_valid(kv_valid[:, :attend_len], KV, bs)  # (B,n_s,KV*bs)
+    li = jnp.asarray(layer, jnp.int32).reshape(1)
+    qg = q.reshape(B, KV, G, hd)
+
+    grid = (B, n_s)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q8t, scale=scale, n_kv=KV, g=G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, KV, G, hd), lambda b, s, li: (b, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, KV, bs, hd), lambda b, s, li: (li[0], b, 0, s, 0)
+                ),
+                pl.BlockSpec((1, 1, 1, KV * bs),
+                             lambda b, s, li: (li[0], b, s, 0)),
+                pl.BlockSpec(
+                    (1, 1, KV, bs, hd), lambda b, s, li: (li[0], b, 0, s, 0)
+                ),
+                pl.BlockSpec((1, 1, 1, KV * bs),
+                             lambda b, s, li: (li[0], b, s, 0)),
+                pl.BlockSpec((1, 1, KV * bs), lambda b, s, li: (b, s, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, KV, G, hd), lambda b, s, li: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((KV * G, 128), jnp.float32),
+                pltpu.VMEM((KV * G, 128), jnp.float32),
+                pltpu.VMEM((KV * G, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KV, G, hd), q.dtype),
+        interpret=interpret,
+    )(li, qg, k_cache, k_scale_t, v_cache, v_scale_t, valid_t)
+    return out.reshape(B, H, hd)
+
+
 def quantize_kv(x: jax.Array):
     """Per-(token, head) absmax int8 quantization of a fresh (B, T, KV, hd)
     k/v block. Returns (int8 values (B,T,KV,hd), f32 scales (B,T,KV))."""

@@ -213,3 +213,47 @@ def test_quant_prefill_exact_with_left_padding():
         np.testing.assert_allclose(
             np.asarray(h_q)[b, vp], np.asarray(h_ref)[b, vp],
             rtol=1e-5, atol=1e-5)
+
+
+def test_decode_kernel_q8t_matches_q8():
+    """Tiled-scale q8 kernel (pre-flattened (L,B,S/bs,KV*bs) scale rows,
+    zero in-kernel concat — docs/ROADMAP.md round-4 item 3) must agree
+    with the row-layout q8 kernel when the tiled scales stay f32, and stay
+    within bf16 rounding of it with bf16 scales."""
+    from mosstts_tpu.ops.pallas.decode_attn import (
+        decode_attention_q8t,
+        pack_kv_scales,
+        pack_valid,
+    )
+
+    q, kc, vc, valid = _setup(2)
+
+    def quant(c):
+        amax = jnp.max(jnp.abs(c), axis=-1)
+        sc = jnp.maximum(amax, 1e-8) / 127.0
+        return (jnp.clip(jnp.round(c / sc[..., None]), -127, 127).astype(jnp.int8),
+                sc.astype(jnp.float32))
+
+    kq, ksc = quant(kc)
+    vq, vsc = quant(vc)
+    ref = decode_attention_q8(
+        q, kq, ksc, vq, vsc, valid, jnp.int32(1),
+        scale=HD ** -0.5, attend_len=256, block_s=128, interpret=True,
+    )
+    for sdt, tol in ((jnp.float32, 1e-6), (jnp.bfloat16, 0.02)):
+        out = decode_attention_q8t(
+            q, kq, pack_kv_scales(ksc, 128, dtype=sdt),
+            vq, pack_kv_scales(vsc, 128, dtype=sdt), valid, jnp.int32(1),
+            scale=HD ** -0.5, attend_len=256, block_s=128, interpret=True,
+        )
+        err = float(jnp.max(jnp.abs(out - ref)))
+        assert err < tol, f"q8t({sdt.__name__}) vs q8 error {err}"
+
+    # pack_valid lane order must mirror pack_kv_scales
+    pv = pack_valid(valid[:, :256], KV, 128)
+    assert pv.shape == (B, 2, KV * 128)
+    v_np = np.asarray(valid[:, :256])
+    for b in (0, 1):
+        for kv in range(KV):
+            for t in (0, 5, 200):
+                assert bool(pv[b, t // 128, kv * 128 + t % 128]) == bool(v_np[b, t])

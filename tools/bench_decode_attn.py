@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from mosstts_tpu.ops.attention import gqa_attention_kvmajor
-from mosstts_tpu.ops.pallas.decode_attn import decode_attention, decode_attention_q8
+from mosstts_tpu.ops.pallas.decode_attn import (
+    decode_attention,
+    decode_attention_q8,
+    decode_attention_q8t,
+    pack_kv_scales,
+)
 
 L, B, KV, G, HD = 28, 64, 8, 2, 128
 H = KV * G
@@ -46,10 +51,15 @@ def timeit(fn, *args, iters=30, warmup=2):
 
 
 def main():
+    global B
     ap = argparse.ArgumentParser()
     ap.add_argument("--attends", type=int, nargs="+", default=[256, 1024, 2048])
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=B,
+                    help="batch rows; --batch 1 measures the single-stream "
+                         "realtime shape (the _decode_ok B>=8 gate question)")
     args = ap.parse_args()
+    B = args.batch
 
     report = {"shape": f"L{L} B{B} KV{KV} G{G} hd{HD}",
               "device": str(jax.devices()[0])}
@@ -154,9 +164,32 @@ def main():
 
             row["q8_ms"] = round(timeit(q8_step, q, kq, ks, vq, vs, valid,
                                         iters=args.iters), 3)
-            del kq, vq, ks, vs
         except Exception as e:
             row["q8_ms"] = f"FAILED {type(e).__name__}"
+
+        # --- Pallas q8 with TILED bf16 scale rows (zero in-kernel concat) --
+        try:
+            kst = pack_kv_scales(ks, 256, dtype=jnp.bfloat16)
+            vst = pack_kv_scales(vs, 256, dtype=jnp.bfloat16)
+
+            @jax.jit
+            def q8t_step(q, kq, kst, vq, vst, valid):
+                def body(li, acc):
+                    a = decode_attention_q8t(q, kq, kst, vq, vst, valid, li,
+                                             scale=SCALE, attend_len=S)
+                    return acc + a.astype(jnp.float32)
+                return jax.lax.fori_loop(0, L, body, jnp.zeros((B, H, HD), jnp.float32))
+
+            row["q8t_bf16scale_ms"] = round(
+                timeit(q8t_step, q, kq, kst, vq, vst, valid,
+                       iters=args.iters), 3)
+            del kst, vst
+        except Exception as e:
+            row["q8t_bf16scale_ms"] = f"FAILED {type(e).__name__}: {e}"
+        try:
+            del kq, vq, ks, vs
+        except NameError:
+            pass
 
         if isinstance(row.get("einsum_ms"), float):
             row["einsum_GBps"] = round(kv_bytes_bf16 / (row["einsum_ms"] / 1e3) / 1e9, 1)
