@@ -432,7 +432,7 @@ def run_realtime_server(args) -> dict:
     engine.generate([reqs[i][0] for i in range(slots)],
                     [reqs[i][1] for i in range(slots)], max_length=8)
 
-    def measure(max_news):
+    def measure(max_news, events: bool = False):
         """One CB-vs-static comparison at a given utterance-length mix.
 
         Both sides are credited USEFUL frames only — min(generated,
@@ -441,7 +441,10 @@ def run_realtime_server(args) -> dict:
         member, so shorter rows' tail frames are garbage nobody asked
         for: ~35% inflation at a 2:1 length mix) while CB's post-EOS
         poll slack inflated its side ~8%; the symmetric useful-frames
-        metric is the honest equal-load comparison."""
+        metric is the honest equal-load comparison.
+
+        ``events=True`` serves via run_events (device-side stop-flag
+        polling: one dispatch per scheduling event)."""
         rid_mn = {}
         for (g, t), mn in zip(reqs, max_news):
             rid_mn[server.submit(g, t, max_new_tokens=mn)] = mn
@@ -450,9 +453,12 @@ def run_realtime_server(args) -> dict:
         # ms/step): per-step dispatch already overlaps on the device-
         # chained state, and step_block's per-block _collect doubles the
         # sync rate vs poll_every=8
-        done = server.run(max_steps=100000)
+        done = (server.run_events(max_steps=100000) if events
+                else server.run(max_steps=100000))
         cb_elapsed = time.perf_counter() - t0
         cb_frames = sum(min(c.steps, rid_mn[c.request_id] + 1) for c in done)
+        if events:  # static side already measured by the windowed run
+            return (cb_frames / cb_elapsed, None, cb_elapsed, None, cb_frames)
 
         # static: groups of `slots`, each decoding to its longest member;
         # useful frames = each row's requested count, not the group max
@@ -484,19 +490,31 @@ def run_realtime_server(args) -> dict:
         short_max_news = [max(4, m // 8) for m in short_max_news]
     s_cb_fps, s_st_fps, _, _, _ = measure(short_max_news)
 
+    # event-driven dispatch over both regimes (run_events: one dispatch
+    # per scheduling event instead of per poll window)
+    log("[rt-server] event-driven runs...")
+    e_cb_fps, _e_st, _, _, _ = measure(max_news, events=True)
+    se_cb_fps, _se_st, _, _, _ = measure(short_max_news, events=True)
+
     crossover = {
         "short_cb_frames_per_sec": round(s_cb_fps, 1),
         "short_static_frames_per_sec": round(s_st_fps, 1),
         "short_cb_vs_static": round(s_cb_fps / max(s_st_fps, 1e-9), 3),
+        "short_events_frames_per_sec": round(se_cb_fps, 1),
+        "short_events_vs_static": round(se_cb_fps / max(s_st_fps, 1e-9), 3),
         "short_utterance_frames": [min(short_max_news),
                                    max(short_max_news)],
     }
+    best_fps = max(cb_fps, e_cb_fps)
     return {
         "metric": "realtime_continuous_batching_frames_per_sec",
-        "value": round(cb_fps, 1),
+        "value": round(best_fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(cb_fps / max(st_fps, 1e-9), 3),
+        "vs_baseline": round(best_fps / max(st_fps, 1e-9), 3),
         "detail": {
+            "windowed_frames_per_sec": round(cb_fps, 1),
+            "events_frames_per_sec": round(e_cb_fps, 1),
+            "events_vs_static": round(e_cb_fps / max(st_fps, 1e-9), 3),
             "slots": slots, "requests": n_requests,
             "decode_steps": headline_decode_steps,
             "useful_frames": cb_useful,
@@ -1031,9 +1049,21 @@ def _find_stray_tpu_procs():
     return out
 
 
-def _kill_stray_tpu_procs():
+def _maybe_kill_stray_tpu_procs():
     """SIGKILL stray claim-holders (SIGTERM is ignored inside the client
-    library — measured during the r3 wedge). Returns a report list."""
+    library — measured during the r3 wedge). Returns a report list.
+
+    Guarded twice: only fires when THIS process actually targets the axon
+    tunnel (a test/CI invocation with JAX_PLATFORMS=cpu/bogus must never
+    kill a real TPU user — an unguarded version of this killed a live
+    sweep from inside the test suite), and only unless
+    MOSSTTS_BENCH_NO_KILL_STRAY=1. Callers: the TOP-LEVEL sweep probe and
+    its post-failure reprobes, where bench owns the tunnel by contract
+    (CLAUDE.md: one TPU process at a time)."""
+    if os.environ.get("MOSSTTS_BENCH_NO_KILL_STRAY") == "1":
+        return []
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return []
     report = []
     for pid, cmd in _find_stray_tpu_procs():
         try:
@@ -1042,6 +1072,8 @@ def _kill_stray_tpu_procs():
         except (ProcessLookupError, PermissionError) as e:
             report.append({"pid": pid, "cmd": cmd, "killed": False,
                            "error": str(e)})
+    if report:
+        log(f"killed {len(report)} stray TPU-claim process(es): {report}")
     return report
 
 
@@ -1050,13 +1082,12 @@ def ensure_backend_healthy(idle_waits=(0, 300, 600, 900), probe_timeout=360):
     COMPLETELY idle for minutes (no probes queuing behind a stale claim)
     before retrying. Returns (healthy, attempts-report).
 
-    Before the first probe, stray TPU-claim-holding processes are
-    SIGKILLed (unless MOSSTTS_BENCH_NO_KILL_STRAY=1) — a process stuck
-    inside the client library keeps the claim forever and every probe
-    just queues behind it (the r4 wedge). The idle ladder then follows
-    the CLAUDE.md recovery recipe: progressively longer FULLY idle waits
-    (nothing touches the tunnel during a wait) with exactly one probe at
-    the end of each.
+    The idle ladder follows the CLAUDE.md recovery recipe: progressively
+    longer FULLY idle waits (nothing touches the tunnel during a wait)
+    with exactly one probe at the end of each. Stray-claim cleanup is the
+    TOP-LEVEL sweep's job (_maybe_kill_stray_tpu_procs before this is
+    called), not this function's — hand-run sections must not kill other
+    TPU users.
 
     probe_timeout must comfortably cover a HEALTHY cold tunnel's first-op
     warmup (measured 157 s on 2026-08-19) — r4's 240 s cap left only ~80 s
@@ -1070,12 +1101,6 @@ def ensure_backend_healthy(idle_waits=(0, 300, 600, 900), probe_timeout=360):
     probe_timeout = int(os.environ.get("MOSSTTS_BENCH_PROBE_TIMEOUT",
                                        probe_timeout))
     attempts = []
-    if os.environ.get("MOSSTTS_BENCH_NO_KILL_STRAY") != "1":
-        strays = _kill_stray_tpu_procs()
-        if strays:
-            log(f"killed {len(strays)} stray TPU-claim process(es) "
-                f"before probing: {strays}")
-            attempts.append({"stray_kill": strays})
     for i, idle in enumerate(idle_waits):
         if idle:
             log(f"backend probe failed; idling tunnel {idle}s before retry "
@@ -1194,6 +1219,11 @@ def run_sweep(args):
     if args.no_probe:
         healthy = True
     else:
+        # bench owns the tunnel at sweep time: clear stuck claim-holders
+        # (guarded: only when this process itself targets axon)
+        strays = _maybe_kill_stray_tpu_procs()
+        if strays:
+            detail["stray_kill"] = strays
         healthy, detail["probe"] = ensure_backend_healthy()
     if not healthy:
         _emit_with_cache_fallback(
@@ -1244,6 +1274,9 @@ def run_sweep(args):
             detail[name]["error"] = err
             # the failed section may have wedged the tunnel — recover
             # before spending the next section's budget on a stale claim
+            strays = _maybe_kill_stray_tpu_procs()
+            if strays:
+                detail[name]["stray_kill"] = strays
             healthy, detail[name]["reprobe"] = ensure_backend_healthy()
             if not healthy:
                 detail[name]["reprobe_verdict"] = "tunnel still down; " \

@@ -927,6 +927,8 @@ class DelayBatchServer:
                         self.state.cache.table, 0, 0, 0)))
         upto = min(attend_upto or self.cache_len, self.cache_len)
         pos, seen = 2, set()
+        idle = (jnp.zeros(self.slots, bool),  # watch: nothing, exits at once
+                jnp.zeros(self.slots, jnp.int32), jnp.int32(0))
         while True:
             a = attend_bucket(pos, 256, self.cache_len)
             if a not in seen:
@@ -936,6 +938,10 @@ class DelayBatchServer:
                 # the pipelined run() dispatches poll_every-step blocks
                 self.state = self._block_fn(a, self.poll_every)(
                     self.params, self.state, self._batch_sampling_dev())
+                # run_events' event block (0-cap: compiles, executes no step)
+                self.state, _i = self._event_fn(a)(
+                    self.params, self.state, self._batch_sampling_dev(),
+                    *idle)
             if a >= upto:
                 break
             pos = a + 1

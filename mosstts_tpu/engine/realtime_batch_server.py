@@ -194,6 +194,114 @@ class RealtimeBatchServer:
             )
         return self._jit[key]
 
+    # Event-block text-feed width: the token matrix column count is static
+    # (one compiled program per attend bucket); 128 matches the realtime
+    # attend bucket stride, so the bucket boundary caps a block before the
+    # matrix ever truncates a longer one.
+    _KMAX = 128
+
+    def _event_fn(self, attend: int):
+        """ONE device program = decode frames UNTIL A SCHEDULING EVENT (any
+        active slot stops or exhausts its frame budget), watched on device
+        by the while_loop cond — the delay server's run_events recipe
+        (engine/batch_server.py) applied to the realtime frame loop. Text
+        tokens for up to _KMAX frames ride in as a (slots, _KMAX) matrix
+        indexed by the loop counter (rows past a slot's pending text feed
+        the pad token, exactly like per-step dispatch)."""
+        key = ("event", attend)
+        if key not in self._jit:
+            cfg, tk = self.config, self.top_k
+
+            def run_block(p, st, toks, w, bl, kc, s):
+                def cond(carry):
+                    cur, i = carry
+                    event = w & (cur.is_stopping | (i >= bl))
+                    return (i < kc) & ~jnp.any(event)
+
+                def body(carry):
+                    cur, i = carry
+                    cur, _frame = realtime_decode_step(
+                        p, cfg, cur, toks[:, i], s, top_k=tk,
+                        attend_len=attend)
+                    return cur, i + 1
+
+                return jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+
+            self._jit[key] = jax.jit(run_block, donate_argnums=(1,))
+        return self._jit[key]
+
+    def _dispatch_event(self, max_k: int):
+        """Admit, then one event block. Returns ``(frames_executed,
+        stop_flags | None)``; flags ride the same transfer as the counter
+        and no admission happens in between, so they map onto current
+        occupants directly."""
+        self._fill_free_slots()
+        if not self._active:
+            return 0, None
+        active = sorted(self._active)
+        max_ub = int(self._ub_host[active].max())
+        attend = attend_bucket(max_ub + 2, max(self.prompt_bucket, 128),
+                               self.cache_len)
+        k_bucket = attend - max_ub - 1
+        budget = np.full(self.slots, 1 << 30, np.int64)
+        for s, req in self._active.items():
+            budget[s] = req.max_new_tokens - self._step_host[s]
+        k_cap = int(min(max_k, k_bucket, int(budget[active].min()),
+                        self._KMAX))
+        if k_cap <= 0:
+            return 0, None
+        toks = np.full((self.slots, self._KMAX), self.text_pad_id, np.int64)
+        watch = np.zeros(self.slots, bool)
+        for slot in active:
+            watch[slot] = True
+            rest = self._text_rest[slot][:k_cap]
+            if rest:
+                toks[slot, : len(rest)] = rest
+        st, i_dev = self._event_fn(attend)(
+            self.params, self.state, jnp.asarray(toks, jnp.int32),
+            jnp.asarray(watch), jnp.asarray(budget.astype(np.int32)),
+            jnp.int32(k_cap), self._batch_sampling_dev())
+        self.state = st
+        did, flags = jax.device_get((i_dev, st.is_stopping))
+        did = int(did)
+        self.total_steps += did
+        self._step_host[active] += did
+        self._ub_host[active] += did
+        for slot in active:
+            del self._text_rest[slot][:did]
+        return did, np.asarray(flags)
+
+    def run_events(self, max_steps: int = 100000) -> List[CompletedStream]:
+        """Drain queue + active slots with EVENT-DRIVEN dispatch (device-
+        side stop-flag polling): dispatch cost scales with the completion
+        rate instead of the frame rate. Frame streams are identical to
+        run() — only the dispatch grouping differs."""
+        out: List[CompletedStream] = []
+        steps = 0
+        while True:
+            if self._active:
+                # budget completions are host-knowable: free those slots
+                # before dispatching so the block admits into them
+                out.extend(self._collect(stopped=np.zeros(self.slots, bool)))
+            if not (self._active or self._queue):
+                break
+            did, flags = self._dispatch_event(max_steps - steps)
+            steps += did
+            collected = 0
+            if flags is not None:
+                got = self._collect(stopped=flags)
+                collected = len(got)
+                out.extend(got)
+            if did == 0 and collected == 0:
+                if self._queue:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "run_events() stopping with %d undrained stream(s)"
+                        " still queued", len(self._queue))
+                break
+        return out
+
     # ---- per-slot sampling -------------------------------------------
     def _set_slot_sampling(self, slot: int, overrides: dict):
         h, sd = self._samp_host, self._samp_default
@@ -610,9 +718,17 @@ class RealtimeBatchServer:
                     jax.random.PRNGKey(0), sampling)
         a = max(self.prompt_bucket, 128)
         toks = jnp.full((self.slots,), self.text_pad_id, jnp.int32)
+        tok_mat = jnp.full((self.slots, self._KMAX), self.text_pad_id,
+                           jnp.int32)
+        idle = (jnp.zeros(self.slots, bool),  # watch nothing: exits at once
+                jnp.zeros(self.slots, jnp.int32), jnp.int32(0))
         while True:
             self.state, _ = self._step_fn(a)(
                 self.params, self.state, toks, self._batch_sampling_dev())
+            # run_events' event block (0-cap: compiles, executes no frame)
+            self.state, _i = self._event_fn(a)(
+                self.params, self.state, tok_mat, *idle,
+                self._batch_sampling_dev())
             if a >= min(upto, self.cache_len):
                 break
             a = attend_bucket(a + 1, max(self.prompt_bucket, 128), self.cache_len)

@@ -9,6 +9,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# belt-and-braces: bench subprocesses spawned by tests must never SIGKILL
+# other TPU-claim processes (a live sweep was once killed from inside the
+# test suite before the JAX_PLATFORMS guard existed)
+os.environ.setdefault("MOSSTTS_BENCH_NO_KILL_STRAY", "1")
 
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

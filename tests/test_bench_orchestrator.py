@@ -11,7 +11,10 @@ ROOT = Path(__file__).resolve().parents[1]
 
 
 def _run(argv, env_extra=None, timeout=900):
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               # isolate from the repo's committed last-good-sweep cache:
+               # failure tests assert the ZERO-value path
+               MOSSTTS_BENCH_RESULTS_CACHE="/tmp/nonexistent_bench_cache.json")
     env.update(env_extra or {})
     return subprocess.run(
         [sys.executable, str(ROOT / "bench.py"), *argv],
@@ -78,3 +81,27 @@ def test_sweep_reprobes_after_error_json_section():
     assert "error" in thr
     assert "reprobe" in thr, "error-JSON section must trigger the reprobe"
     assert "reprobe_verdict" in thr  # tunnel still down -> sections skipped
+
+
+def test_sweep_reemits_cached_numbers_when_backend_dead(tmp_path):
+    """A wedged-tunnel sweep must carry the last GOOD sweep's numbers with
+    explicit provenance (VERDICT r4 item 1) — value/vs_baseline from the
+    cache, the live error and probe evidence intact."""
+    cache = tmp_path / "cache.json"
+    cache.write_text(json.dumps({
+        "saved_at": "2026-08-19T00:00:00Z",
+        "result": {"value": 431.5, "vs_baseline": 21.575,
+                   "detail": {"headline_size": "8b"}},
+    }))
+    p = _run([], env_extra={"JAX_PLATFORMS": "bogus9",
+                            "MOSSTTS_BENCH_IDLE_WAITS": "0",
+                            "MOSSTTS_BENCH_PROBE_TIMEOUT": "120",
+                            "MOSSTTS_BENCH_RESULTS_CACHE": str(cache)},
+             timeout=600)
+    assert p.returncode == 0, p.stderr[-800:]
+    d = _last_json(p.stdout)
+    assert d["value"] == 431.5 and d["vs_baseline"] == 21.575
+    assert "error" in d and "provenance" in d
+    assert "2026-08-19T00:00:00Z" in d["provenance"]
+    assert d["detail"]["cached_sweep"]["value"] == 431.5
+    assert d["detail"]["probe"], "live probe evidence must ride along"

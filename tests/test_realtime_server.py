@@ -327,3 +327,33 @@ def test_hist_buckets_exponential_and_warmed():
     want = {("hist_slice", nb) for nb in (64, 128, 256)}
     assert want <= set(srv._jit), sorted(k for k in srv._jit
                                          if k[0] == "hist_slice")
+
+
+def test_realtime_server_event_run_matches_windowed():
+    """run_events() (device-side stop-flag polling) must reproduce run()'s
+    frame streams exactly, with mixed budgets so budget exits and
+    mid-flight admission fire inside event blocks, and strictly fewer
+    dispatches than frames."""
+    from mosstts_tpu.models.realtime import init_realtime_params
+
+    params = init_realtime_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    reqs = _requests(rng, 5)
+    max_news = [10, 22, 9, 15, 12]
+
+    def serve(events):
+        srv = _make_server(params)
+        rids = [srv.submit(g, t, max_new_tokens=mn)
+                for (g, t), mn in zip(reqs, max_news)]
+        run = srv.run_events if events else srv.run
+        done = {c.request_id: c for c in run(max_steps=600)}
+        assert set(done) == set(rids)
+        return [done[r] for r in rids]
+
+    ref = serve(events=False)
+    got = serve(events=True)
+    for a, b, mn in zip(ref, got, max_news):
+        n = min(len(a.frames), len(b.frames))
+        np.testing.assert_array_equal(a.frames[:n], b.frames[:n])
+        # event blocks exit exactly at the budget: no overshoot frames
+        assert b.steps <= mn
