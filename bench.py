@@ -183,14 +183,27 @@ def run_size(size: str, args) -> dict:
 def _build_codec(which: str, n_q: int, *, for_latency: bool = False):
     """Codec at bench scale. ``1p6b`` is the parity-scale preset (the
     reference Cat codec is 1.6B, README.md:378-408) in bf16 with int8
-    matmul weights — the serving layout that fits alongside a backbone."""
+    matmul weights — the serving layout that fits alongside a backbone.
+
+    MOSSTTS_CODEC_CKPT: path to a trained checkpoint directory
+    (MossAudioTokenizer.save_pretrained / tools/train_codec_long.py
+    --save); when set and present, the 1p6b bench runs REAL learned
+    weights instead of a random init (same shapes, identical timing —
+    the checkpoint matters for audible output, not for latency)."""
     from mosstts_tpu.codec.model import MossAudioTokenizer
     from mosstts_tpu.core.config import CodecConfig, codec_1p6b
 
     if which == "1p6b":
         cfg = codec_1p6b(n_q=n_q)
-        codec = MossAudioTokenizer.random_init(seed=0, config=cfg,
-                                               dtype=jnp.bfloat16)
+        ckpt = os.environ.get("MOSSTTS_CODEC_CKPT")
+        if ckpt and Path(ckpt).exists():
+            log(f"[codec-1p6b] loading trained checkpoint {ckpt}")
+            codec = MossAudioTokenizer.from_pretrained(ckpt,
+                                                       dtype=jnp.bfloat16)
+            cfg = codec.config  # the checkpoint's own config wins
+        else:
+            codec = MossAudioTokenizer.random_init(seed=0, config=cfg,
+                                                   dtype=jnp.bfloat16)
         from mosstts_tpu.ops.quant import quantize_tree
 
         codec.params = quantize_tree(codec.params)

@@ -62,22 +62,40 @@ def main(argv=None):
                          "formant-synthesized speech (pitch/prosody "
                          "trajectories, vowel formant glides, fricatives — "
                          "codec/speech_synth.py)")
+    ap.add_argument("--preset", choices=("custom", "1p6b"), default="custom",
+                    help="'1p6b' trains the PARITY-SCALE codec_1p6b preset "
+                         "(~1.5B params, the reference Cat codec scale) and "
+                         "ignores --hidden/--layers; requires "
+                         "--optimizer adafactor on one 16 GB chip")
+    ap.add_argument("--optimizer", choices=("adamw", "adafactor"),
+                    default="adamw",
+                    help="adafactor drops AdamW's two f32 moments "
+                         "(~12.4 GB at 1p6b scale) for factored stats")
+    ap.add_argument("--no-adversarial", action="store_true",
+                    help="reconstruction-only trainer (also skips building "
+                         "the discriminators — the memory headroom the "
+                         "1p6b recon-first run needs)")
     args = ap.parse_args(argv)
 
-    cfg = CodecConfig(
-        hidden_size=args.hidden, intermediate_size=args.hidden * 3,
-        num_encoder_layers=args.layers, num_decoder_layers=args.layers,
-        num_attention_heads=max(2, args.hidden // 32),
-        num_key_value_heads=max(2, args.hidden // 32),
-        head_dim=32, n_q=args.n_q, codebook_dim=min(64, args.hidden),
-    )
+    if args.preset == "1p6b":
+        from mosstts_tpu.core.config import codec_1p6b
+
+        cfg = codec_1p6b(n_q=args.n_q)
+    else:
+        cfg = CodecConfig(
+            hidden_size=args.hidden, intermediate_size=args.hidden * 3,
+            num_encoder_layers=args.layers, num_decoder_layers=args.layers,
+            num_attention_heads=max(2, args.hidden // 32),
+            num_key_value_heads=max(2, args.hidden // 32),
+            head_dim=32, n_q=args.n_q, codebook_dim=min(64, args.hidden),
+        )
     trainer = CodecTrainer(
         cfg, num_quantizers=args.n_q, peak_lr=args.lr,
         warmup_steps=max(1, args.steps // 20), total_steps=args.steps,
         snr_weight=args.snr_weight, lag_tolerance=args.lag_tol,
-        adversarial=True,
+        adversarial=not args.no_adversarial,
         adv_weight=args.adv_weight, fm_weight=args.fm_weight,
-        adv_start=args.adv_start)
+        adv_start=args.adv_start, optimizer=args.optimizer)
 
     if args.data == "speech":
         from mosstts_tpu.codec.speech_synth import (
