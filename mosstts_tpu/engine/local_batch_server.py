@@ -208,6 +208,96 @@ class LocalBatchServer:
             return []
         return self._collect()
 
+    def _event_fn(self, attend: int):
+        """ONE device program = frames UNTIL A SCHEDULING EVENT (any active
+        slot finishes or exhausts its budget), watched on device by the
+        while_loop cond — the delay server's run_events recipe
+        (engine/batch_server.py:_event_fn) on the local frame loop."""
+        key = ("event", attend)
+        if key not in self._jit:
+            cfg, nv, eos = self.config, self.n_vq_infer, self.eos_token_id
+
+            def run_block(p, st, s, w, bl, kc):
+                def cond(carry):
+                    cur, i = carry
+                    event = w & (~cur.unfinished | (i >= bl))
+                    return (i < kc) & ~jnp.any(event)
+
+                def body(carry):
+                    cur, i = carry
+                    cur = local_frame_step(
+                        p, cfg, cur, s, n_vq_infer=nv, eos_token_id=eos,
+                        attend_len=attend)
+                    return cur, i + 1
+
+                return jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+
+            self._jit[key] = jax.jit(run_block, donate_argnums=(1,))
+        return self._jit[key]
+
+    def _dispatch_event(self, max_k: int):
+        """Admit, then one event block; returns ``(steps_executed,
+        finished_mask | None)`` — the mask rides the same transfer as the
+        counter, and no admission happens in between."""
+        self._fill_free_slots()
+        if not self._active:
+            return 0, None
+        active = sorted(self._active)
+        max_pos = int(self._pos_host[active].max())
+        attend = attend_bucket(max_pos + 2, 256, self.cache_len)
+        k_bucket = attend - max_pos - 1
+        budget = np.full(self.slots, 1 << 30, np.int64)
+        for s, req in self._active.items():
+            budget[s] = req.max_new_tokens - self._step_host[s]
+        k_cap = int(min(max_k, k_bucket, int(budget[active].min())))
+        if k_cap <= 0:
+            return 0, None
+        watch = np.zeros(self.slots, bool)
+        watch[active] = True
+        st, i_dev = self._event_fn(attend)(
+            self.params, self.state, self.sampling,
+            jnp.asarray(watch), jnp.asarray(budget.astype(np.int32)),
+            jnp.int32(k_cap))
+        self.state = st
+        did, unfinished = jax.device_get((i_dev, st.unfinished))
+        did = int(did)
+        self.total_steps += did
+        self.util_sum += did * (len(self._active) / self.slots)
+        self._pos_host[active] += did
+        self._step_host[active] += did
+        return did, ~np.asarray(unfinished)
+
+    def run_events(self, max_steps: int = 100000) -> List[CompletedLocal]:
+        """Drain queue + active slots with EVENT-DRIVEN dispatch (device-
+        side stop-flag polling; see DelayBatchServer.run_events). Frame
+        streams are identical to run() — only dispatch grouping differs."""
+        done: List[CompletedLocal] = []
+        steps = 0
+        while True:
+            if self._active:
+                # budget completions are host-knowable: free those slots
+                # before dispatching so the block admits into them
+                done.extend(self._collect(
+                    finished_mask=np.zeros(self.slots, bool)))
+            if not (self._active or self._queue):
+                break
+            did, finished = self._dispatch_event(max_steps - steps)
+            steps += did
+            collected = 0
+            if finished is not None:
+                got = self._collect(finished_mask=finished)
+                collected = len(got)
+                done.extend(got)
+            if did == 0 and collected == 0:
+                if self._queue:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "run_events() stopping with %d undrained request(s)"
+                        " still queued", len(self._queue))
+                break
+        return done
+
     def _insert_fn(self):
         if "insert" not in self._jit:
             self._jit["insert"] = jax.jit(_insert_local_row, donate_argnums=(0,))
@@ -392,6 +482,8 @@ class LocalBatchServer:
         self.run()
         upto = min(attend_upto or self.cache_len, self.cache_len)
         pos, seen = 2, set()
+        idle = (jnp.zeros(self.slots, bool),  # watch nothing: exits at once
+                jnp.zeros(self.slots, jnp.int32), jnp.int32(0))
         while True:
             a = attend_bucket(pos, 256, self.cache_len)
             if a not in seen:
@@ -400,6 +492,9 @@ class LocalBatchServer:
                     self.params, self.state, self.sampling)
                 self.state = self._block_fn(a, self.poll_every)(
                     self.params, self.state, self.sampling)
+                # run_events' event block (0-cap: compiles, runs no frame)
+                self.state, _i = self._event_fn(a)(
+                    self.params, self.state, self.sampling, *idle)
             if a >= upto:
                 break
             pos = a + 1

@@ -138,3 +138,29 @@ def test_local_server_pipelined_poll_matches_sequential():
         a, b = seq[rid].tokens, pipe[rid].tokens
         n = min(len(a), len(b))
         np.testing.assert_array_equal(a[:n], b[:n], err_msg=f"request {rid}")
+
+
+def test_local_server_event_run_matches_windowed():
+    """run_events() (device-side stop-flag polling) must reproduce run()'s
+    outputs exactly under mixed budgets, with exact budget step counts."""
+    params = init_local_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    rng = np.random.default_rng(21)
+    grids = [_grid(rng, 8 + 3 * i) for i in range(5)]
+    budgets = [12, 7, 15, 9, 11]
+
+    def serve(events):
+        srv = LocalBatchServer(
+            params, CFG, slots=2, cache_len=128, out_capacity=32,
+            prompt_bucket=BUCKET, dtype=jnp.float32, **GREEDY)
+        rids = [srv.submit(g, max_new_tokens=mn)
+                for g, mn in zip(grids, budgets)]
+        run = srv.run_events if events else srv.run
+        done = {c.request_id: c for c in run(max_steps=600)}
+        assert sorted(done) == sorted(rids)
+        return [done[r] for r in rids]
+
+    ref = serve(events=False)
+    got = serve(events=True)
+    for a, b, mn in zip(ref, got, budgets):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        assert b.steps <= mn
