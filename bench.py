@@ -732,7 +732,14 @@ def run_batch_server(args) -> dict:
     # SAME load at doubled poll_every; with t = steps*m + dispatches*OH per
     # run, two runs solve (m, OH) exactly — the per-program dispatch floor
     # OH and the pure device step time m, no tunnel assumption needed.
+    # The doubled-k block programs MUST be warmed first: the first sweep
+    # that skipped this compiled them inside the timed window and the
+    # solve returned a negative overhead.
     server.poll_every = server.poll_every * 2
+    for a in sorted({k[1] for k in server._jit if k[0] == "block"}):
+        server.state = server._block_fn(a, server.poll_every)(
+            server.params, server.state, server._batch_sampling_dev())
+    jax.device_get(server.state.pos)
     cb2 = timed_run(server.run)
     server.poll_every = server.poll_every // 2
     det = (cbw["steps"] * cb2["dispatches"] - cb2["steps"] * cbw["dispatches"])
