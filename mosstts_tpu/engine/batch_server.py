@@ -278,20 +278,26 @@ class DelayBatchServer:
     _SAMP_KEYS = ("text_temperature", "text_top_p", "audio_temperature",
                   "audio_top_p", "audio_repetition_penalty")
 
-    def _set_slot_sampling(self, slot: int, overrides: dict):
-        h, sd = self._samp_host, self._samp_default
-        for k in ("text_do_sample", "audio_do_sample"):
-            h[k][slot] = sd[k]
-        for k in self._SAMP_KEYS:
-            h[k][slot] = sd[k]
+    def _request_sampling_values(self, overrides: Optional[dict]) -> dict:
+        """Resolved per-request sampling scalars: server defaults with the
+        request's overrides applied (temperature <= 0 = greedy). One source
+        of truth for _set_slot_sampling and run_drain's staged arrays."""
+        vals = dict(self._samp_default)
+        overrides = overrides or {}
         for chan in ("text", "audio"):
             t = overrides.get(f"{chan}_temperature")
             if t is not None:
-                h[f"{chan}_temperature"][slot] = t if t > 0 else 1.0
-                h[f"{chan}_do_sample"][slot] = t > 0
+                vals[f"{chan}_temperature"] = t if t > 0 else 1.0
+                vals[f"{chan}_do_sample"] = t > 0
         for k in ("text_top_p", "audio_top_p", "audio_repetition_penalty"):
             if overrides.get(k) is not None:
-                h[k][slot] = overrides[k]
+                vals[k] = overrides[k]
+        return vals
+
+    def _set_slot_sampling(self, slot: int, overrides: dict):
+        h = self._samp_host
+        for k, v in self._request_sampling_values(overrides).items():
+            h[k][slot] = v
         self._batch_sampling = None  # device pytree is stale
 
     def _slot_sampling(self, slot: int) -> DelaySampling:
@@ -587,6 +593,227 @@ class DelayBatchServer:
                         "run_events() stopping with %d undrained request(s)"
                         " still queued (ids %s)", len(stuck), stuck)
                 break
+        return out
+
+    # ---- device-resident drain scheduler -------------------------------
+    def _drain_fn(self, attend: int, buckets: Tuple[int, ...], nqcap: int):
+        """ONE device program = the WHOLE continuous-batching scheduler for
+        a batch of queued requests, inside a single while_loop:
+
+          admit (batch-1 prefill via lax.switch over the distinct prompt
+          buckets + row splice — the exact programs _admit composes) ->
+          decode step -> collect (completed slots' outputs scattered into
+          per-request result rows) -> repeat,
+
+        exiting only when everything drained, the attend bucket must grow,
+        or a step cap hits. The host then pays ONE dispatch + ONE sync per
+        attend bucket instead of one per poll window or per completion —
+        on hardware with a fixed program-dispatch floor (tunneled TPU:
+        ~30-45 ms; local chips: smaller but real) this is the difference
+        between scheduler-bound and device-bound serving. Token streams
+        are bit-equal to run()/run_events(): same prefill shapes (each
+        request keeps its own prompt bucket — RoPE positions depend on the
+        left-pad, so a shared bucket would change tokens), same per-row
+        rng streams, same sampling-override semantics.
+
+        The reference serves one request at a time from a host loop
+        (moss_tts_realtime/app.py:951-954); this is the TPU-native inverse:
+        the scheduler itself compiled onto the device."""
+        key = ("drain", attend, buckets, nqcap)
+        if key not in self._jit:
+            cfg, tkt, tka = self.config, self.top_k_text, self.top_k_audio
+            dt, cl, oc, kvq = (self.dtype, self.cache_len,
+                               self.out_capacity, self.kv_quant)
+            C = cfg.channels
+            t_max = buckets[-1]
+
+            def drain(params, carry, prompts, masks, qbucket, qbudget,
+                      rngs, qsamp, qn, cap):
+                # carry: st, samp, qi, active, slot_rid, budget, results,
+                #        rsteps, i
+
+                def cond(c):
+                    st, _samp, qi, active, _rid, _b, _res, _rs, i = c
+                    work = (qi < qn) | jnp.any(active)
+                    pos_ok = ~jnp.any(active & (st.pos >= attend))
+                    return work & pos_ok & (i < cap)
+
+                def admit(op):
+                    st, samp, qi, active, slot_rid, budget = op
+                    slot = jnp.argmin(active)  # first free slot
+
+                    def mk_branch(tb):
+                        def branch(_):
+                            ids = jax.lax.dynamic_slice(
+                                prompts, (qi, t_max - tb, 0), (1, tb, C))
+                            mask = jax.lax.dynamic_slice(
+                                masks, (qi, t_max - tb), (1, tb))
+                            samp_scalar = DelaySampling(
+                                *(f[qi] if f.ndim else f for f in qsamp))
+                            return delay_prefill(
+                                params, cfg, ids, mask,
+                                max_new_tokens=oc, cache_len=cl,
+                                rng=rngs[qi], sampling=samp_scalar,
+                                top_k_text=tkt, top_k_audio=tka, dtype=dt,
+                                kv_quant=kvq)
+                        return branch
+
+                    small = jax.lax.switch(
+                        qbucket[qi], [mk_branch(tb) for tb in buckets], None)
+                    st = _insert_row(st, small, slot)
+                    samp = DelaySampling(
+                        *(f.at[slot].set(qf[qi]) if f.ndim else f
+                          for f, qf in zip(samp, qsamp)))
+                    return (st, samp, qi + 1, active.at[slot].set(True),
+                            slot_rid.at[slot].set(qi),
+                            budget.at[slot].set(qbudget[qi]))
+
+                def body(c):
+                    st, samp, qi, active, slot_rid, budget, results, rsteps, i = c
+                    can_admit = jnp.any(~active) & (qi < qn)
+                    st, samp, qi, active, slot_rid, budget = jax.lax.cond(
+                        can_admit, admit, lambda op: op,
+                        (st, samp, qi, active, slot_rid, budget))
+                    st = delay_decode_step(
+                        params, cfg, st, samp,
+                        top_k_text=tkt, top_k_audio=tka, attend_len=attend)
+                    stopped = active & (st.is_stopping | (st.step >= budget))
+                    # completed slots' outputs land in their request row;
+                    # untriggered slots write the trash row nqcap
+                    rid_w = jnp.where(stopped, slot_rid, nqcap)
+                    results = results.at[rid_w].set(st.out)
+                    rsteps = rsteps.at[rid_w].set(
+                        jnp.minimum(st.step, budget))
+                    return (st, samp, qi, active & ~stopped, slot_rid,
+                            budget, results, rsteps, i + 1)
+
+                return jax.lax.while_loop(cond, body, carry)
+
+            self._jit[key] = jax.jit(drain, donate_argnums=(1,))
+        return self._jit[key]
+
+    def run_drain(self, max_steps: int = 100000) -> List[CompletedRequest]:
+        """Drain the queue with the DEVICE-RESIDENT scheduler (_drain_fn):
+        one dispatch + one small sync per attend bucket for the whole
+        batch. Linear-cache servers only (the paged pool's host allocator
+        needs per-completion control — use run()/run_events there).
+        Requires an idle pool (no in-flight slots)."""
+        if self.paged:
+            raise ValueError("run_drain requires the linear cache; use "
+                             "run()/run_events for paged serving")
+        if self._active:
+            raise ValueError("run_drain requires an idle pool")
+        reqs = list(self._queue)
+        self._queue.clear()
+        if not reqs:
+            return []
+        cfg = self.config
+        C = cfg.channels
+        NQ = len(reqs)
+        nqcap = -(-NQ // 16) * 16  # bound program count: one per 16-size
+        pb = self.prompt_bucket
+
+        def bucket_of(r):
+            return ((r.input_ids.shape[0] + pb - 1) // pb) * pb
+
+        buckets = tuple(sorted({bucket_of(r) for r in reqs}))
+        t_max = buckets[-1]
+        prompts = np.full((nqcap, t_max, C), cfg.audio_pad_code, np.int64)
+        prompts[..., 0] = cfg.pad_token_id
+        masks = np.zeros((nqcap, t_max), bool)
+        qbucket = np.zeros(nqcap, np.int32)
+        qbudget = np.zeros(nqcap, np.int32)
+        rngs = np.zeros((nqcap, 2), np.uint32)
+        samp_vals = {k: np.zeros(nqcap, np.bool_ if isinstance(v, bool)
+                                 else np.float32)
+                     for k, v in self._samp_default.items()}
+        for idx, r in enumerate(reqs):
+            T = r.input_ids.shape[0]
+            prompts[idx, t_max - T:] = r.input_ids
+            masks[idx, t_max - T:] = True
+            qbucket[idx] = buckets.index(bucket_of(r))
+            qbudget[idx] = min(r.max_new_tokens, self.out_capacity)
+            # identical seeding to _admit (cross-lifetime reproducibility)
+            rngs[idx] = np.asarray(jax.random.PRNGKey(
+                hash((0xD317A9,
+                      r.seed if r.seed is not None else r.request_id))
+                & 0x7FFFFFFF))
+            for k, v in self._request_sampling_values(r.sampling).items():
+                samp_vals[k][idx] = v
+        base = self.sampling
+        qsamp = DelaySampling(
+            text_temperature=jnp.asarray(samp_vals["text_temperature"]),
+            text_top_p=jnp.asarray(samp_vals["text_top_p"]),
+            audio_temperature=jnp.asarray(samp_vals["audio_temperature"]),
+            audio_top_p=jnp.asarray(samp_vals["audio_top_p"]),
+            audio_repetition_penalty=jnp.asarray(
+                samp_vals["audio_repetition_penalty"]),
+            text_do_sample=jnp.asarray(samp_vals["text_do_sample"]),
+            audio_do_sample=jnp.asarray(samp_vals["audio_do_sample"]),
+            # fresh buffer: the carry donates _batch_sampling_dev(), whose
+            # cross_batch scalar is this same array — aliasing a donated
+            # buffer into a non-donated arg is an XLA error
+            audio_rp_cross_batch=jnp.bool_(
+                bool(np.asarray(base.audio_rp_cross_batch))),
+        )
+        carry = (
+            self.state, self._batch_sampling_dev(), jnp.int32(0),
+            jnp.zeros(self.slots, bool), jnp.zeros(self.slots, jnp.int32),
+            jnp.full(self.slots, 1 << 30, jnp.int32),
+            jnp.zeros((nqcap + 1, self.out_capacity, C), jnp.int32),
+            jnp.zeros(nqcap + 1, jnp.int32), jnp.int32(0),
+        )
+        prompts_j, masks_j = jnp.asarray(prompts), jnp.asarray(masks)
+        qbucket_j, qbudget_j = jnp.asarray(qbucket), jnp.asarray(qbudget)
+        rngs_j, qn_j = jnp.asarray(rngs), jnp.int32(NQ)
+        # the carry donates self.state and the device sampling pytree into
+        # the program: drop the host references NOW so nothing can touch a
+        # donated buffer if the chain is interrupted
+        self._batch_sampling = None
+        pos_floor = t_max  # any new admission lands at its bucket <= t_max
+        steps_done = 0
+        prev_i = -1
+        while True:
+            attend = attend_bucket(pos_floor + 2, 256, self.cache_len)
+            carry = self._drain_fn(attend, buckets, nqcap)(
+                self.params, carry, prompts_j, masks_j, qbucket_j,
+                qbudget_j, rngs_j, qsamp, qn_j,
+                jnp.int32(max_steps))
+            self.total_dispatches += 1
+            qi_h, act_h, pos_h, i_h = jax.device_get(
+                (carry[2], carry[3], carry[0].pos, carry[8]))
+            done = (int(qi_h) >= NQ) and not bool(np.any(act_h))
+            stuck = int(i_h) == prev_i and attend >= self.cache_len
+            if done or int(i_h) >= max_steps or stuck:
+                steps_done = int(i_h)
+                if not done:
+                    logging.getLogger(__name__).warning(
+                        "run_drain() stopped with work remaining "
+                        "(steps=%d, stuck=%s)", steps_done, stuck)
+                break
+            prev_i = int(i_h)
+            active_pos = int(np.max(np.where(act_h, pos_h, 0)))
+            pos_floor = max(active_pos,
+                            t_max if int(qi_h) < NQ else 0)
+        self.total_steps += steps_done
+        # (per-step occupancy stays on device; util_sum is not updated —
+        # utilization reads 0 for drain-only servers rather than a guess)
+        results, rsteps = jax.device_get((carry[6], carry[7]))
+        self.state = carry[0]
+        self._pos_host[:] = np.asarray(jax.device_get(carry[0].pos))
+        self._step_host[:] = 1 << 30
+        out: List[CompletedRequest] = []
+        for idx, req in enumerate(reqs):
+            n = int(rsteps[idx])
+            gen = np.asarray(results[idx, :n], np.int64)
+            full = np.concatenate([req.input_ids, gen], axis=0)
+            start_idx = req.input_ids.shape[0] - req.start_length
+            out.append(CompletedRequest(
+                request_id=req.request_id,
+                start_length=req.start_length,
+                tokens=full[start_idx:],
+                steps=n,
+            ))
         return out
 
     def step_block(self, k: Optional[int] = None) -> List[CompletedRequest]:

@@ -298,3 +298,53 @@ def test_event_driven_run_matches_windowed():
                 err_msg=f"event-driven diverged (paged={paged})")
             assert b.steps <= mn
         assert not srv._active and not srv._queue
+
+
+def test_drain_run_matches_windowed():
+    """run_drain() (the WHOLE scheduler — admit via lax.switch prefill,
+    decode, collect — compiled into one device while_loop) must reproduce
+    run()'s outputs exactly: same request->tokens map and step counts,
+    under mixed budgets/prompt-buckets and per-request sampling overrides
+    so admission, EOS/budget exits and slot reuse all happen inside the
+    device loop. Also checks the dispatch count collapses to O(attend
+    buckets), the point of the device-resident scheduler."""
+    params = init_delay_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    proc = DelayProcessor(ByteFallbackTokenizer(), None, CFG)
+    grids = [_continuation_grid(proc, f"drain wave {i}" + " pad" * (6 * (i % 2)),
+                                seed=90 + i)
+             for i in range(5)]
+    budgets = [24, 9, 17, 31, 12]
+    overrides = [None, {"audio_temperature": 0.9, "audio_top_p": 0.8},
+                 None, {"text_temperature": 0.7}, None]
+    seeds = [None, 7, None, 11, None]
+
+    def serve(drain):
+        srv = DelayBatchServer(
+            params, CFG, slots=2, cache_len=512, out_capacity=64,
+            prompt_bucket=32, dtype=jnp.float32,
+            sampling=make_sampling(text_temperature=0.0,
+                                   audio_temperature=0.0))
+        rids = [srv.submit(g, max_new_tokens=mn, sampling=ov, seed=sd)
+                for g, mn, ov, sd in zip(grids, budgets, overrides, seeds)]
+        run = srv.run_drain if drain else srv.run
+        done = {c.request_id: c for c in run(max_steps=800)}
+        assert sorted(done) == sorted(rids)
+        return [done[r] for r in rids], srv
+
+    ref, _ = serve(drain=False)
+    got, srv = serve(drain=True)
+    for a, b, mn in zip(ref, got, budgets):
+        np.testing.assert_array_equal(a.tokens, b.tokens,
+                                      err_msg="drain diverged")
+        assert a.steps == b.steps <= mn
+    assert not srv._active and not srv._queue
+    assert srv.total_dispatches <= 3  # one per attend bucket, not per poll
+
+
+def test_drain_rejects_paged_and_busy():
+    params = init_delay_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    srv = DelayBatchServer(params, CFG, slots=2, cache_len=256,
+                           out_capacity=64, prompt_bucket=32,
+                           dtype=jnp.float32, paged=True, page_size=64)
+    with pytest.raises(ValueError, match="linear"):
+        srv.run_drain()
