@@ -758,6 +758,14 @@ def run_batch_server(args) -> dict:
     log("[batch-server] event-driven run (device-side stop polling)...")
     cbe = timed_run(server.run_events)
 
+    # Device-resident drain: the WHOLE scheduler (admit/decode/collect) in
+    # one while_loop — one dispatch + one sync per attend bucket for the
+    # entire load (run_drain), eliminating the per-window dispatch floor
+    log("[batch-server] drain warmup (device-resident scheduler compile)...")
+    timed_run(server.run_drain)  # compiles one program per attend bucket
+    log("[batch-server] drain run...")
+    cbd = timed_run(server.run_drain)
+
     # static batching: same requests, groups of `slots`, each group decodes
     # to its LONGEST request (the head-of-line blocking continuous batching
     # removes)
@@ -851,7 +859,8 @@ def run_batch_server(args) -> dict:
         }
 
     cbe_fps = cbe["frames"] / cbe["elapsed"]
-    best_fps = max(cb_fps, cbe_fps)
+    cbd_fps = cbd["frames"] / cbd["elapsed"]
+    best_fps = max(cb_fps, cbe_fps, cbd_fps)
     return {
         "metric": "continuous_batching_frames_per_sec",
         "value": round(best_fps, 1),
@@ -869,6 +878,10 @@ def run_batch_server(args) -> dict:
             "events_dispatches": cbe["dispatches"],
             "events_steps": cbe["steps"],
             "events_utilization": round(cbe["util"], 3),
+            "drain_frames_per_sec": round(cbd_fps, 1),
+            "drain_vs_static": round(cbd_fps / max(st_fps, 1e-9), 3),
+            "drain_dispatches": cbd["dispatches"],
+            "drain_steps": cbd["steps"],
             # exact 2-run solve: elapsed = steps*m + dispatches*OH
             "dispatch_overhead_ms": round(oh_disp * 1e3, 2),
             "device_step_ms": round(m_step * 1e3, 3),

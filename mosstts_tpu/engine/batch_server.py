@@ -756,8 +756,14 @@ class DelayBatchServer:
             audio_rp_cross_batch=jnp.bool_(
                 bool(np.asarray(base.audio_rp_cross_batch))),
         )
+        # the carry is DONATED into the loop: give it a private copy of the
+        # slot-sampling pytree — donating _batch_sampling_dev() itself would
+        # delete the cached pytree AND the server's base
+        # sampling.audio_rp_cross_batch scalar it shares, breaking every
+        # later run()/run_drain() on this server ("Array has been deleted")
+        samp0 = jax.tree.map(lambda x: x.copy(), self._batch_sampling_dev())
         carry = (
-            self.state, self._batch_sampling_dev(), jnp.int32(0),
+            self.state, samp0, jnp.int32(0),
             jnp.zeros(self.slots, bool), jnp.zeros(self.slots, jnp.int32),
             jnp.full(self.slots, 1 << 30, jnp.int32),
             jnp.zeros((nqcap + 1, self.out_capacity, C), jnp.int32),
@@ -766,10 +772,6 @@ class DelayBatchServer:
         prompts_j, masks_j = jnp.asarray(prompts), jnp.asarray(masks)
         qbucket_j, qbudget_j = jnp.asarray(qbucket), jnp.asarray(qbudget)
         rngs_j, qn_j = jnp.asarray(rngs), jnp.int32(NQ)
-        # the carry donates self.state and the device sampling pytree into
-        # the program: drop the host references NOW so nothing can touch a
-        # donated buffer if the chain is interrupted
-        self._batch_sampling = None
         pos_floor = t_max  # any new admission lands at its bucket <= t_max
         steps_done = 0
         prev_i = -1

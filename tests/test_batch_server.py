@@ -134,6 +134,25 @@ def test_batch_server_kv_quant_runs():
     for c in done:
         assert c.tokens.shape[1] == CFG.channels
         assert np.isfinite(c.tokens).all()
+    # the device-resident drain scheduler must compose with the quant
+    # cache too (bench's batch-server section serves kv_quant=True): same
+    # requests again, greedy -> identical grids to the windowed run
+    rids2 = [server.submit(g, max_new_tokens=12) for g in grids]
+    done2 = {c.request_id: c for c in server.run_drain()}
+    for r1, r2 in zip(rids, rids2):
+        a = next(c for c in done if c.request_id == r1)
+        np.testing.assert_array_equal(a.tokens, done2[r2].tokens)
+    # the server must stay serviceable after a drain (the drain's donated
+    # carry must not consume the server's own sampling buffers): another
+    # drain AND another windowed run on the same instance
+    rids3 = [server.submit(g, max_new_tokens=12) for g in grids]
+    done3 = {c.request_id: c for c in server.run_drain()}
+    rids4 = [server.submit(g, max_new_tokens=12) for g in grids]
+    done4 = {c.request_id: c for c in server.run(max_steps=200)}
+    for r1, r3, r4 in zip(rids, rids3, rids4):
+        a = next(c for c in done if c.request_id == r1)
+        np.testing.assert_array_equal(a.tokens, done3[r3].tokens)
+        np.testing.assert_array_equal(a.tokens, done4[r4].tokens)
 
 
 def test_paged_server_matches_linear():

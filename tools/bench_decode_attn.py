@@ -37,17 +37,31 @@ H = KV * G
 SCALE = HD ** -0.5
 
 
+MARGINAL = False
+
+
+def _window_ms(fn, args, iters):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.device_get(out.ravel()[:1])
+    return (time.perf_counter() - t0) * 1000
+
+
 def timeit(fn, *args, iters=30, warmup=2):
     out = fn(*args)
     jax.device_get(out.ravel()[:1])
     for _ in range(warmup):
         out = fn(*args)
     jax.device_get(out.ravel()[:1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(out.ravel()[:1])
-    return (time.perf_counter() - t0) * 1000 / iters
+    if MARGINAL:
+        # two windows, divided difference: cancels the fixed ~30-45 ms
+        # enqueue->sync tunnel overhead that swamps sub-ms B=1 steps when
+        # amortized over one window (CLAUDE.md timing rule)
+        lo = _window_ms(fn, args, iters)
+        hi = _window_ms(fn, args, iters * 3)
+        return (hi - lo) / (iters * 2)
+    return _window_ms(fn, args, iters) / iters
 
 
 def main():
@@ -58,8 +72,13 @@ def main():
     ap.add_argument("--batch", type=int, default=B,
                     help="batch rows; --batch 1 measures the single-stream "
                          "realtime shape (the _decode_ok B>=8 gate question)")
+    ap.add_argument("--marginal", action="store_true",
+                    help="two-window divided-difference timing (needed at "
+                         "B=1 where the tunnel sync floor swamps the step)")
     args = ap.parse_args()
     B = args.batch
+    global MARGINAL
+    MARGINAL = args.marginal
 
     report = {"shape": f"L{L} B{B} KV{KV} G{G} hd{HD}",
               "device": str(jax.devices()[0])}
