@@ -48,7 +48,9 @@ def _flash_ok(T: int, hd: int, H: int, KV: int) -> bool:
 
 def _decode_ok(B: int, a_len: int, hd: int, H: int, KV: int) -> bool:
     """Gate for the Pallas flash-decode kernel (single-token cache read).
-    MOSSTTS_NO_DECODE_KERNEL=1 forces the einsum path (A/B benchmarking)."""
+    MOSSTTS_NO_DECODE_KERNEL=1 forces the einsum path;
+    MOSSTTS_FORCE_DECODE_KERNEL=1 lifts the B>=8 floor (both for A/B
+    benchmarking — see docs/PROFILE.md batch-1 realtime table)."""
     import os
 
     if os.environ.get("MOSSTTS_NO_DECODE_KERNEL", ""):
@@ -57,12 +59,13 @@ def _decode_ok(B: int, a_len: int, hd: int, H: int, KV: int) -> bool:
         backend = jax.default_backend()
     except Exception:
         return False
+    min_b = 1 if os.environ.get("MOSSTTS_FORCE_DECODE_KERNEL", "") else 8
     return (
         backend not in ("cpu",)
         # the kernel's grid is (B, S-tiles); small batches leave too few
         # cells to pipeline and the XLA einsum wins (batch-1 realtime
         # measured slower through the kernel)
-        and B >= 8
+        and B >= min_b
         and hd % 128 == 0
         and H % KV == 0
         # full 256-lane tiles only: odd attend lengths (e.g. the realtime
